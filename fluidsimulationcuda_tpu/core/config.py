@@ -1,0 +1,93 @@
+"""Simulation configuration.
+
+The reference scatters configuration across three tiers: compile-time macros
+(``N/DT/VIS/DIFF``, ``project/sequential/FluidSequential.c:6-10``), CLI block
+dims (``project/naivePar/FluidParallelBlockPerElement-Naive.cu:345-359``), and
+a device-side ``__constant__`` mirror uploaded via ``cudaMemcpyToSymbol``
+(``...:11-14,386-389``).  On TPU all of that collapses into one frozen
+dataclass passed as a static argument to ``jax.jit`` — the compiled HLO *is*
+the constant-folded configuration.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import jax.numpy as jnp
+
+__all__ = ["SimConfig"]
+
+
+@dataclasses.dataclass(frozen=True)
+class SimConfig:
+    """Frozen, hashable simulation configuration (static under ``jax.jit``).
+
+    Attributes:
+      n: number of *interior* cells per side (reference ``N``,
+        ``FluidSequential.c:6``).  The allocated grid is ``(n+2, n+2)`` —
+        one ghost cell per side.
+      dt: timestep (reference ``DT=0.016``, ``FluidSequential.c:7``).
+      visc: velocity diffusion (viscosity) coefficient (``VIS=0.0025``).
+      diff: density diffusion coefficient (``DIFF=0.1``).
+      jacobi_iters: Jacobi sweeps per diffusion / pressure solve.  The
+        reference hard-codes 40 (``FluidSequential.c:91``); BASELINE.json's
+        headline metric uses 20, so it is a first-class parameter here and
+        every reported number states it.
+      dtype: element type of the state grids.  The reference is float32
+        throughout (``document/main.tex:345-350``); bfloat16 is supported as
+        a fast mode but changes numerics.
+      backend: which compute path executes the hot ops —
+        ``"reference"``: pure jnp/XLA ops (the differential-testing oracle
+        for the kernels), ``"pallas"``: fused Pallas TPU kernels,
+        ``"auto"``: pallas on TPU, reference elsewhere.
+      fuse_sweeps: how many Jacobi sweeps the Pallas kernel performs per
+        HBM round-trip (halo depth of the VMEM tiles).  0 = auto-tune from
+        ``n`` and ``jacobi_iters``.
+      ndim: spatial dimensionality (2 for the reference solver, 3 for the
+        smoke-volume extension).
+    """
+
+    n: int = 126
+    dt: float = 0.016
+    visc: float = 0.0025
+    diff: float = 0.1
+    jacobi_iters: int = 20
+    dtype: jnp.dtype = jnp.float32
+    backend: str = "auto"
+    fuse_sweeps: int = 0
+    ndim: int = 2
+
+    def __post_init__(self):
+        if self.n < 2:
+            raise ValueError(f"n must be >= 2, got {self.n}")
+        if self.jacobi_iters < 1:
+            raise ValueError("jacobi_iters must be >= 1")
+        if self.backend not in ("reference", "pallas", "auto"):
+            raise ValueError(f"unknown backend {self.backend!r}")
+        if self.ndim not in (2, 3):
+            raise ValueError("ndim must be 2 or 3")
+
+    @property
+    def grid_shape(self) -> Tuple[int, ...]:
+        """Full padded grid shape, ghost border included."""
+        return (self.n + 2,) * self.ndim
+
+    @property
+    def num_cells(self) -> int:
+        c = 1
+        for s in self.grid_shape:
+            c *= s
+        return c
+
+    @property
+    def diffusion_alpha_visc(self) -> float:
+        """alpha for velocity diffusion (``FluidSequential.c:199``)."""
+        return self.dt * self.visc * self.n * self.n
+
+    @property
+    def diffusion_alpha_diff(self) -> float:
+        """alpha for density diffusion (``FluidSequential.c:179``)."""
+        return self.dt * self.diff * self.n * self.n
+
+    def replace(self, **kw) -> "SimConfig":
+        return dataclasses.replace(self, **kw)

@@ -1,0 +1,73 @@
+"""Backend dispatch.
+
+The reference maintains five whole *source-tree families* (sequential,
+SIMD-SSE, naivePar, smPar, optPar) that all implement the same five ops; here
+backends are one enum on ``SimConfig`` and every op is selected per-call:
+
+- ``reference``: pure jnp/XLA ops — numerics oracle, runs anywhere.
+- ``pallas``: fused Mosaic TPU kernels (VMEM halo tiling, multi-sweep Jacobi
+  fusion) — the performance path.
+- ``auto``: pallas on TPU when shapes qualify, reference otherwise.
+"""
+from __future__ import annotations
+
+from typing import Callable, NamedTuple
+
+import jax
+
+from ..core.config import SimConfig
+from ..ops.advect import advect as _advect_ref
+from ..ops.diffuse import diffuse as _diffuse_ref
+from ..ops.project import (
+    apply_pressure_gradient as _apg_ref,
+    divergence as _divergence_ref,
+    pressure_solve as _pressure_ref,
+)
+
+
+class OpSet(NamedTuple):
+    """The five-op compute surface (reference §2.2)."""
+
+    diffuse: Callable
+    advect: Callable
+    divergence: Callable
+    pressure_solve: Callable
+    apply_pressure_gradient: Callable
+
+
+_REFERENCE_OPS = OpSet(
+    diffuse=_diffuse_ref,
+    advect=_advect_ref,
+    divergence=_divergence_ref,
+    pressure_solve=_pressure_ref,
+    apply_pressure_gradient=_apg_ref,
+)
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:  # pragma: no cover - defensive
+        return False
+
+
+def _pallas_supported(cfg: SimConfig) -> bool:
+    if cfg.ndim != 2:
+        return False
+    # Lane-dim alignment: the Pallas kernels tile the padded (n+2, n+2) grid
+    # with 128-lane blocks over the interior; any n >= 128 with n % 128 == 0
+    # qualifies (128-2=126 etc. also work via padding, handled later).
+    return cfg.n >= 128 and cfg.n % 128 == 0
+
+
+def get_ops(cfg: SimConfig) -> OpSet:
+    backend = cfg.backend
+    if backend == "auto":
+        backend = "pallas" if (_on_tpu() and _pallas_supported(cfg)) else "reference"
+    if backend == "reference":
+        return _REFERENCE_OPS
+    if backend == "pallas":
+        from . import pallas_ops  # deferred: requires TPU-capable lowering
+
+        return pallas_ops.make_opset(cfg)
+    raise ValueError(f"unknown backend {backend!r}")

@@ -1,0 +1,134 @@
+"""Stable Fluids 2-D — the flagship solver.
+
+One functional, jit-compiled step that collapses the reference's five variant
+families into a single XLA program.  Step composition mirrors
+``vel_step``/``dens_step`` (``FluidSequential.c:176-241``) exactly, including
+the quirks that matter for parity:
+
+- the Jacobi initial guess for the velocity/density diffusions is the raw
+  source buffer (the reference's post-SWAP ``*_prev`` contents, ``:201-204``);
+- both self-advections read the same *pre-advection* velocity (``:232,237``);
+- the velocity step projects twice (``:213-226`` and ``:238-240``).
+
+What is deliberately *not* replicated: host-side launch loops (P9), divergent
+``__syncthreads`` barriers, and the duplicate-source first step — sources are
+explicit per-step inputs.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+from ..core.config import SimConfig
+from ..core.state import FluidState, Sources, zero_sources
+from ..kernels.dispatch import get_ops
+from ..ops.source import add_source
+
+__all__ = ["vel_step", "dens_step", "step", "make_step_fn", "simulate", "StableFluids2D"]
+
+
+def vel_step(
+    cfg: SimConfig, u: jax.Array, v: jax.Array, u_src: jax.Array, v_src: jax.Array
+) -> tuple[jax.Array, jax.Array]:
+    """Velocity update (``FluidSequential.c:189-241``)."""
+    ops = get_ops(cfg)
+    u = add_source(u, u_src, cfg.dt)
+    v = add_source(v, v_src, cfg.dt)
+    alpha = cfg.diffusion_alpha_visc
+    beta = 1.0 + 4.0 * alpha
+    u = ops.diffuse(1, u_src, u, alpha, beta, cfg.jacobi_iters)
+    v = ops.diffuse(2, v_src, v, alpha, beta, cfg.jacobi_iters)
+
+    def _project(u, v):
+        div = ops.divergence(u, v, cfg.n)
+        p = ops.pressure_solve(div, cfg.jacobi_iters)
+        return ops.apply_pressure_gradient(u, v, p, cfg.n)
+
+    u, v = _project(u, v)
+    u0, v0 = u, v
+    u = ops.advect(1, u0, u0, v0, cfg.dt, cfg.n)
+    v = ops.advect(2, v0, u0, v0, cfg.dt, cfg.n)
+    return _project(u, v)
+
+
+def dens_step(
+    cfg: SimConfig, dens: jax.Array, dens_src: jax.Array, u: jax.Array, v: jax.Array
+) -> jax.Array:
+    """Density update (``FluidSequential.c:176-186``)."""
+    ops = get_ops(cfg)
+    dens = add_source(dens, dens_src, cfg.dt)
+    alpha = cfg.diffusion_alpha_diff
+    beta = 1.0 + 4.0 * alpha
+    dens = ops.diffuse(0, dens_src, dens, alpha, beta, cfg.jacobi_iters)
+    return ops.advect(0, dens, u, v, cfg.dt, cfg.n)
+
+
+def step(cfg: SimConfig, state: FluidState, sources: Sources) -> FluidState:
+    """One full timestep: ``vel_step`` then ``dens_step``
+    (``FluidSequential.c:305-306``)."""
+    u, v = vel_step(cfg, state.u, state.v, sources.u, sources.v)
+    dens = dens_step(cfg, state.dens, sources.dens, u, v)
+    return FluidState(dens=dens, u=u, v=v)
+
+
+def make_step_fn(cfg: SimConfig) -> Callable[[FluidState, Sources], FluidState]:
+    """A jitted step closed over the (static) config — the TPU analogue of
+    uploading ``__constant__`` config once and launching forever
+    (``naivePar/...BlockPerElement-Naive.cu:386-389``)."""
+    return jax.jit(functools.partial(step, cfg))
+
+
+def simulate(
+    cfg: SimConfig,
+    state: FluidState,
+    sources: Sources,
+    num_steps: int,
+    *,
+    sources_every_step: bool = False,
+) -> FluidState:
+    """Run ``num_steps`` inside a single compiled ``lax.scan``.
+
+    By default sources fire on step 1 only, matching the reference harness
+    (``FluidSequential.c:289-303``: init on the first iteration, prev buffers
+    zeroed afterwards).  ``sources_every_step=True`` turns them into a
+    continuous inflow — the generalization the reference couldn't express.
+    """
+    zeros = zero_sources(cfg)
+
+    def body(carry, k):
+        if sources_every_step:
+            src = sources
+        else:
+            src = jax.tree.map(
+                lambda s, z: jnp.where(k == 0, s, z),
+                sources,
+                zeros,
+            )
+        return step(cfg, carry, src), None
+
+    def scan_fn(state):
+        out, _ = jax.lax.scan(body, state, jnp.arange(num_steps))
+        return out
+
+    return jax.jit(scan_fn)(state)
+
+
+class StableFluids2D:
+    """Object-style wrapper with a cached jitted step."""
+
+    def __init__(self, cfg: SimConfig):
+        if cfg.ndim != 2:
+            raise ValueError("StableFluids2D requires ndim == 2")
+        self.cfg = cfg
+        self._step = make_step_fn(cfg)
+
+    def step(self, state: FluidState, sources: Sources | None = None) -> FluidState:
+        if sources is None:
+            sources = zero_sources(self.cfg)
+        return self._step(state, sources)
+
+    def simulate(self, state, sources, num_steps, **kw) -> FluidState:
+        return simulate(self.cfg, state, sources, num_steps, **kw)

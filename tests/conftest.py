@@ -1,0 +1,35 @@
+"""Test configuration.
+
+Tests run on CPU with 8 virtual devices so the multi-chip sharding path is
+exercised without TPU hardware (`shard_map` over a virtual mesh compiles and
+runs identically; only speed differs).  Must be set before jax import.
+"""
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(1234)
+
+
+def random_padded(rng, n, lo=-1.0, hi=1.0):
+    """A random float32 (n+2, n+2) grid."""
+    return rng.uniform(lo, hi, size=(n + 2, n + 2)).astype(np.float32)
+
+
+@pytest.fixture
+def grid_factory(rng):
+    def make(n, lo=-1.0, hi=1.0):
+        return random_padded(rng, n, lo, hi)
+
+    return make

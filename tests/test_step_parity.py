@@ -1,0 +1,114 @@
+"""End-to-end parity: jitted JAX step vs the NumPy oracle.
+
+Mirrors the reference's validation criterion — GPU vs sequential agreement
+~1e-6 per step (document/main.tex:349) — at the BASELINE tolerance of 1e-5
+after 100 steps on the reference-style initial condition.
+"""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from fluidsimulationcuda_tpu import (
+    SimConfig,
+    Sources,
+    make_step_fn,
+    reference_init,
+    simulate,
+    zero_sources,
+)
+from fluidsimulationcuda_tpu.oracle import numpy_ref as oracle
+
+
+def _oracle_run(state, sources, cfg, num_steps):
+    dens = np.asarray(state.dens)
+    u = np.asarray(state.u)
+    v = np.asarray(state.v)
+    ds = np.asarray(sources.dens)
+    us = np.asarray(sources.u)
+    vs = np.asarray(sources.v)
+    z = np.zeros_like(ds)
+    for k in range(num_steps):
+        s = (ds, us, vs) if k == 0 else (z, z, z)
+        dens, u, v = oracle.step(
+            dens, u, v, *s, dt=cfg.dt, visc=cfg.visc, diff=cfg.diff,
+            n=cfg.n, iters=cfg.jacobi_iters,
+        )
+    return dens, u, v
+
+
+@pytest.mark.parametrize("n,steps,iters", [(30, 1, 20), (30, 10, 20), (126, 1, 20)])
+def test_step_matches_oracle(n, steps, iters):
+    cfg = SimConfig(n=n, jacobi_iters=iters, backend="reference")
+    state, sources = reference_init(jax.random.key(0), cfg)
+    want = _oracle_run(state, sources, cfg, steps)
+
+    step_fn = make_step_fn(cfg)
+    zeros = zero_sources(cfg)
+    s = state
+    for k in range(steps):
+        s = step_fn(s, sources if k == 0 else zeros)
+
+    for got, exp, name in zip((s.dens, s.u, s.v), want, "dens u v".split()):
+        np.testing.assert_allclose(
+            np.asarray(got), exp, rtol=1e-5, atol=1e-5, err_msg=name
+        )
+
+
+def test_long_horizon_parity_100_steps():
+    """BASELINE config 1: 100 steps at small grid, density parity <= 1e-5."""
+    cfg = SimConfig(n=30, jacobi_iters=20, backend="reference")
+    state, sources = reference_init(jax.random.key(7), cfg)
+    want_dens, want_u, want_v = _oracle_run(state, sources, cfg, 100)
+    got = simulate(cfg, state, sources, 100)
+    np.testing.assert_allclose(np.asarray(got.dens), want_dens, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got.u), want_u, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got.v), want_v, atol=1e-5)
+
+
+def test_simulate_scan_equals_python_loop():
+    cfg = SimConfig(n=30, jacobi_iters=8, backend="reference")
+    state, sources = reference_init(jax.random.key(3), cfg)
+    scanned = simulate(cfg, state, sources, 5)
+    step_fn = make_step_fn(cfg)
+    zeros = zero_sources(cfg)
+    s = state
+    for k in range(5):
+        s = step_fn(s, sources if k == 0 else zeros)
+    for a, b in zip((scanned.dens, scanned.u, scanned.v), (s.dens, s.u, s.v)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-6)
+
+
+def test_continuous_sources():
+    cfg = SimConfig(n=30, jacobi_iters=8, backend="reference")
+    state, sources = reference_init(jax.random.key(5), cfg)
+    out = simulate(cfg, state, sources, 3, sources_every_step=True)
+    step_fn = make_step_fn(cfg)
+    s = state
+    for _ in range(3):
+        s = step_fn(s, sources)
+    np.testing.assert_allclose(np.asarray(out.dens), np.asarray(s.dens), rtol=1e-6, atol=1e-6)
+
+
+def test_stability_long_run():
+    """The checkStability() the reference references but never implemented
+    (FluidSequential.c:309): fields must stay finite and bounded over a long
+    run — Stam's scheme is unconditionally stable."""
+    cfg = SimConfig(n=30, jacobi_iters=20, backend="reference")
+    state, sources = reference_init(jax.random.key(11), cfg)
+    out = simulate(cfg, state, sources, 300)
+    for f in (out.dens, out.u, out.v):
+        arr = np.asarray(f)
+        assert np.isfinite(arr).all()
+        assert np.abs(arr).max() < 10.0
+
+
+def test_density_nonnegative_and_bounded():
+    """Semi-Lagrangian advection with bilinear interp cannot create new
+    extrema beyond the diffused field; with nonnegative sources density
+    stays nonnegative (small epsilon for float roundoff)."""
+    cfg = SimConfig(n=30, jacobi_iters=20, backend="reference")
+    state, sources = reference_init(jax.random.key(13), cfg)
+    out = simulate(cfg, state, sources, 50)
+    assert np.asarray(out.dens).min() > -1e-6
