@@ -43,6 +43,11 @@ class SimConfig:
       fuse_sweeps: how many Jacobi sweeps the Pallas kernel performs per
         HBM round-trip (halo depth of the VMEM tiles).  0 = auto-tune from
         ``n`` and ``jacobi_iters``.
+      max_courant: Pallas advection gathers from a VMEM window of
+        ``max_courant`` cells around each output cell; exact while the
+        backtrace displacement ``|dt*n*velocity|`` stays below
+        ``max_courant - 1`` cells (always true in this solver's stable
+        regime), clamped to the window otherwise.  Cost grows quadratically.
       ndim: spatial dimensionality (2 for the reference solver, 3 for the
         smoke-volume extension).
     """
@@ -55,6 +60,7 @@ class SimConfig:
     dtype: jnp.dtype = jnp.float32
     backend: str = "auto"
     fuse_sweeps: int = 0
+    max_courant: int = 4
     ndim: int = 2
 
     def __post_init__(self):

@@ -52,12 +52,9 @@ def _on_tpu() -> bool:
 
 
 def _pallas_supported(cfg: SimConfig) -> bool:
-    if cfg.ndim != 2:
-        return False
-    # Lane-dim alignment: the Pallas kernels tile the padded (n+2, n+2) grid
-    # with 128-lane blocks over the interior; any n >= 128 with n % 128 == 0
-    # qualifies (128-2=126 etc. also work via padding, handled later).
-    return cfg.n >= 128 and cfg.n % 128 == 0
+    from . import pallas_ops
+
+    return pallas_ops.supports(cfg)
 
 
 def get_ops(cfg: SimConfig) -> OpSet:

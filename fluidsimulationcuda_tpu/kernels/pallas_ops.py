@@ -1,0 +1,553 @@
+"""Fused Pallas TPU kernels — the performance backend.
+
+Design
+------
+Every kernel tiles the padded (side, side) grid into full-width *row strips*
+(side = n+2).  Full-width strips mean there are no column halos: the left and
+right ghost columns live inside every strip and are re-derived in VMEM after
+every sweep.  Row halos are loaded K-deep so K Jacobi sweeps run per HBM
+round-trip — the TPU answer to the reference's three Jacobi strategies
+(40 host launches, ``naivePar/...BlockPerElement-Naive.cu:261-264``;
+cooperative-groups whole-grid sync, ``optPar/GROUP-BlockPerElement.cu:124-160``;
+the racy in-kernel loop, ``naivePar/FluidParallelError.cu:117-134``) and to
+its shared-memory halo tiles (``smPar/...BlockPerElement-SM.cu:169-192``) —
+VMEM is the shared memory, ``BlockSpec``/DMA is the halo staging, and the
+boundary rule is fused into each sweep instead of separate ``boundaryGPU``
+launches (``naivePar/...Interleaved-Naive.cu:390-454``).
+
+Advection cannot use XLA/Mosaic gathers (lowered serially on TPU; measured
+~40 ms at 2048²).  Instead the bilinear gather is decomposed into
+(2C+1)² masked shift-accumulates over a VMEM-resident window — exact whenever
+the backtrace displacement is at most C-1 cells (``max_courant`` on
+``SimConfig``; the clamp to the window mirrors the reference's own clamp to
+the box, ``FluidSequential.c:117-127``).
+
+All kernels read/write full padded arrays with a valid ghost ring, so they
+are drop-in replacements for the jnp ops, matching them to within FMA
+contraction noise (~1 ulp per op; the per-element expression order is the
+reference's, so agreement is ~1e-6 — the same class of difference the
+reference accepted between CUDA and CPU, ``document/main.tex:349``).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..core.config import SimConfig
+from .dispatch import OpSet
+
+# Flipped to True by the test suite to run kernels in interpreter mode on CPU.
+INTERPRET = False
+
+_LANE = 128
+
+
+def _signs(b: int) -> tuple[float, float]:
+    return (-1.0 if b == 1 else 1.0), (-1.0 if b == 2 else 1.0)
+
+
+def _pick_tm(side: int) -> int | None:
+    """Output strip height.  Whole-grid single strip when it fits VMEM
+    (3 buffers x side^2 x 4B <= ~10MB), else 128-row strips."""
+    if 3 * side * side * 4 <= 10 * 2**20:
+        return side
+    for tm in (128, 256, 64):  # 128 first: best VMEM headroom with pipelining
+        if side % tm == 0:
+            return tm
+    return None
+
+
+def supports(cfg: SimConfig) -> bool:
+    side = cfg.n + 2
+    return cfg.ndim == 2 and side >= 8 and _pick_tm(side) is not None
+
+
+# ---------------------------------------------------------------------------
+# Shared in-kernel boundary epilogue
+# ---------------------------------------------------------------------------
+
+
+def _apply_bnd_window(dst, b: int, start, wr: int, side: int):
+    """Re-derive the ghost cells of the global grid that fall inside this
+    window (rows [start, start+wr)) from the just-computed interior —
+    ``set_bnd`` (``FluidSequential.c:62-75``) fused into the sweep."""
+    sx, sy = _signs(b)
+    dt = dst.dtype
+    sx = jnp.asarray(sx, dt)
+    sy = jnp.asarray(sy, dt)
+    half = jnp.asarray(0.5, dt)
+
+    # Ghost columns, all window rows (stale / wall rows fixed below).
+    dst[:, 0:1] = sx * dst[:, 1:2]
+    dst[:, side - 1 : side] = sx * dst[:, side - 2 : side - 1]
+
+    @pl.when(start == 0)
+    def _():
+        dst[0:1, :] = sy * dst[1:2, :]
+        # Corners as 1x1 slice stores (Mosaic cannot store scalars to VMEM).
+        dst[0:1, 0:1] = half * (dst[0:1, 1:2] + dst[1:2, 0:1])
+        dst[0:1, side - 1 : side] = half * (
+            dst[0:1, side - 2 : side - 1] + dst[1:2, side - 1 : side]
+        )
+
+    @pl.when(start + wr == side)
+    def _():
+        dst[wr - 1 : wr, :] = sy * dst[wr - 2 : wr - 1, :]
+        dst[wr - 1 : wr, 0:1] = half * (
+            dst[wr - 1 : wr, 1:2] + dst[wr - 2 : wr - 1, 0:1]
+        )
+        dst[wr - 1 : wr, side - 1 : side] = half * (
+            dst[wr - 1 : wr, side - 2 : side - 1]
+            + dst[wr - 2 : wr - 1, side - 1 : side]
+        )
+
+
+# ---------------------------------------------------------------------------
+# Fused-sweep Jacobi kernel (diffusion + pressure Poisson)
+# ---------------------------------------------------------------------------
+
+
+def _ceil8(x: int) -> int:
+    return -(-x // 8) * 8
+
+
+def _jacobi_kernel(
+    x_hbm, rhs_hbm, out_ref, buf_a, buf_b, rhs_buf, sems,
+    *, b: int, alpha: float, beta: float, sweeps: int,
+    tm: int, wr: int, side: int, zero_init: bool, margin: int,
+):
+    gi = pl.program_id(0)
+    r0 = gi * tm
+    # margin is 8-aligned and >= sweeps+1, so r0 - start is always a
+    # multiple of 8 (Mosaic requires provably aligned sublane offsets).
+    start = pl.multiple_of(jnp.clip(r0 - margin, 0, side - wr), 8)
+
+    rhs_cp = pltpu.make_async_copy(
+        rhs_hbm.at[pl.ds(start, wr), :], rhs_buf, sems.at[0]
+    )
+    rhs_cp.start()
+    if zero_init:
+        buf_a[:] = jnp.zeros((wr, side), buf_a.dtype)
+    else:
+        x_cp = pltpu.make_async_copy(
+            x_hbm.at[pl.ds(start, wr), :], buf_a, sems.at[1]
+        )
+        x_cp.start()
+        x_cp.wait()
+    rhs_cp.wait()
+
+    dt = buf_a.dtype
+    a_c = jnp.asarray(alpha, dt)
+    b_c = jnp.asarray(beta, dt)
+
+    def sweep(src, dst):
+        s = src[:]
+        neigh = ((s[1:-1, :-2] + s[1:-1, 2:]) + s[:-2, 1:-1]) + s[2:, 1:-1]
+        dst[1:-1, 1:-1] = (rhs_buf[1:-1, 1:-1] + a_c * neigh) / b_c
+        # Window edge rows: carry previous values (stale beyond validity
+        # margin, never read for output; wall rows fixed by the BC below).
+        dst[0:1, :] = s[0:1, :]
+        dst[wr - 1 : wr, :] = s[wr - 1 : wr, :]
+        _apply_bnd_window(dst, b, start, wr, side)
+
+    def double_sweep(_, carry):
+        sweep(buf_a, buf_b)
+        sweep(buf_b, buf_a)
+        return carry
+
+    jax.lax.fori_loop(0, sweeps // 2, double_sweep, 0)
+    if sweeps % 2:
+        sweep(buf_a, buf_b)
+        buf_a[:] = buf_b[:]
+
+    out_ref[:] = buf_a[pl.ds(pl.multiple_of(r0 - start, 8), tm), :]
+
+
+def fused_jacobi(
+    b: int,
+    x_init: jnp.ndarray,
+    x0: jnp.ndarray,
+    alpha: float,
+    beta: float,
+    iters: int,
+    *,
+    zero_init: bool = False,
+    max_fused: int = 20,
+) -> jnp.ndarray:
+    """``iters`` Jacobi sweeps (semantics of ``ops.diffuse``) with up to
+    ``max_fused`` sweeps per HBM round-trip.  ``zero_init`` skips loading the
+    initial guess (pressure solve: p is zeroed, ``FluidSequential.c:153``)."""
+    side = x0.shape[0]
+    tm = _pick_tm(side)
+    assert tm is not None, f"unsupported side {side}"
+
+    x = x_init
+    first = True
+    remaining = iters
+    if tm != side:
+        # Fused window (tm + 2*ceil8(k+1) rows) must fit inside the grid.
+        margin_cap = ((side - tm) // 2) // 8 * 8
+        max_fused = max(1, min(max_fused, margin_cap - 1))
+    while remaining > 0:
+        k = min(remaining, max_fused)
+        x = _fused_jacobi_call(
+            b, x, x0, float(alpha), float(beta), k, tm, side,
+            zero_init and first,
+        )
+        first = False
+        remaining -= k
+    return x
+
+
+@functools.partial(
+    jax.jit, static_argnames=("b", "alpha", "beta", "sweeps", "tm", "side",
+                              "zero_init")
+)
+def _fused_jacobi_call(b, x, x0, alpha, beta, sweeps, tm, side, zero_init):
+    if tm == side:
+        wr = side  # whole grid in one window; margin condition is vacuous
+        margin = 0
+    else:
+        margin = _ceil8(sweeps + 1)
+        wr = tm + 2 * margin
+        assert wr <= side, "fused sweep window exceeds grid"
+    kernel = functools.partial(
+        _jacobi_kernel, b=b, alpha=alpha, beta=beta, sweeps=sweeps,
+        tm=tm, wr=wr, side=side, zero_init=zero_init, margin=margin,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(side // tm,),
+        out_shape=jax.ShapeDtypeStruct((side, side), x0.dtype),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((tm, side), lambda gi: (gi, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((wr, side), x0.dtype),
+            pltpu.VMEM((wr, side), x0.dtype),
+            pltpu.VMEM((wr, side), x0.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=INTERPRET,
+    )(x, x0)
+
+
+# ---------------------------------------------------------------------------
+# Advection kernel: semi-Lagrangian backtrace + masked-shift bilinear gather
+# ---------------------------------------------------------------------------
+
+
+def _advect_kernel(
+    d0_hbm, u_ref, v_ref, out_ref, dwin, wbuf, rows_ref, acc_ref, sems,
+    *, b: int, dt: float, n: int, tm: int, wd: int, side: int,
+    cmax: int, lpad: int,
+):
+    gi = pl.program_id(0)
+    r0 = gi * tm
+    # marg is 8-aligned (>= cmax+1) so r0 - start is a multiple of 8; the
+    # margins also absorb per-term slices that fall outside the DMA'd region
+    # at wall strips (never mask-selected, but reads must be memory-safe).
+    marg = _ceil8(cmax + 1)
+    start = pl.multiple_of(jnp.clip(r0 - marg, 0, side - wd), 8)
+
+    cp = pltpu.make_async_copy(
+        d0_hbm.at[pl.ds(start, wd), :],
+        dwin.at[marg : marg + wd, lpad : lpad + side],
+        sems.at[0],
+    )
+    cp.start()
+
+    dtype = u_ref.dtype
+    dt0 = jnp.asarray(dt, dtype) * n
+    # Global coordinates of this strip's rows/cols.
+    gr = (r0 + jax.lax.broadcasted_iota(jnp.int32, (tm, side), 0)).astype(dtype)
+    gc = jax.lax.broadcasted_iota(jnp.int32, (tm, side), 1).astype(dtype)
+
+    x = gc - dt0 * u_ref[:]
+    y = gr - dt0 * v_ref[:]
+    lo = jnp.asarray(0.5, dtype)
+    hi = jnp.asarray(n + 0.5, dtype)
+    x = jnp.clip(x, lo, hi)
+    y = jnp.clip(y, lo, hi)
+    # Window clamp (exact while |displacement| <= cmax-1; cf. module doc).
+    x = jnp.clip(x, gc - cmax, gc + cmax)
+    y = jnp.clip(y, gr - cmax, gr + cmax)
+
+    j0 = x.astype(jnp.int32)
+    i0 = y.astype(jnp.int32)
+    s1 = x - j0.astype(dtype)
+    s0 = jnp.asarray(1.0, dtype) - s1
+    t1 = y - i0.astype(dtype)
+    t0 = jnp.asarray(1.0, dtype) - t1
+
+    nshift = 2 * cmax + 1
+    di = i0 - gr.astype(jnp.int32)  # in [-cmax, cmax]
+    dj = j0 - gc.astype(jnp.int32)
+    key = (di + cmax) * nshift + (dj + cmax)
+
+    cp.wait()
+
+    # Stage everything through scratch refs: a pure value chain makes Mosaic
+    # keep every unrolled term's intermediates live on the stack (measured
+    # ~49MB > 16MB VMEM).  wbuf gets one *aligned* dynamic load (Mosaic
+    # cannot prove alignment of per-term dynamic sublane offsets); per-a row
+    # slices of wbuf are static reads; per-term lane slices of rows_ref are
+    # static reads consumed immediately.  Local row of global row g in wbuf
+    # is g - r0 + marg.
+    hv = _ceil8(marg + tm + cmax + 1)
+    base = pl.multiple_of(r0 - start, 8)
+    wbuf[:] = dwin[pl.ds(base, hv), :]
+
+    acc_ref[:] = jnp.zeros((tm, side), dtype)
+    t = 0
+    for a in range(-cmax, cmax + 1):
+        rows_ref[0 : tm + 1, :] = wbuf[marg + a : marg + a + tm + 1, :]
+        for bb in range(-cmax, cmax + 1):
+            coff = lpad + bb  # static
+            p00 = rows_ref[0:tm, coff : coff + side]
+            p01 = rows_ref[0:tm, coff + 1 : coff + 1 + side]
+            p10 = rows_ref[1 : tm + 1, coff : coff + side]
+            p11 = rows_ref[1 : tm + 1, coff + 1 : coff + 1 + side]
+            # Exact reference expression order (FluidSequential.c:136-137)
+            # so results bit-match the jnp path.
+            patch = s0 * (t0 * p00 + t1 * p10) + s1 * (t0 * p01 + t1 * p11)
+            acc_ref[:] = jnp.where(key == t, patch, acc_ref[:])
+            t += 1
+
+    out_ref[:] = acc_ref[:]
+    _apply_bnd_window(out_ref, b, r0, tm, side)
+
+
+def advect_shift(
+    b: int,
+    d0: jnp.ndarray,
+    u: jnp.ndarray,
+    v: jnp.ndarray,
+    dt: float,
+    n: int,
+    *,
+    cmax: int = 4,
+) -> jnp.ndarray:
+    """Semi-Lagrangian advection (semantics of ``ops.advect``,
+    ``FluidSequential.c:107-141``) with in-VMEM masked-shift gather."""
+    return _advect_call(b, d0, u, v, float(dt), n, cmax)
+
+
+@functools.partial(jax.jit, static_argnames=("b", "dt", "n", "cmax"))
+def _advect_call(b, d0, u, v, dt, n, cmax):
+    side = n + 2
+    tm = _pick_tm(side)
+    assert tm is not None
+    if tm != side:
+        # Mosaic stack usage grows with strip height x (2C+1)^2 unrolled
+        # terms; short strips keep the kernel well under the VMEM limit.
+        tm = min(tm, 32)
+    marg = _ceil8(cmax + 1)
+    if tm == side:
+        wd = side
+    else:
+        wd = tm + 2 * marg
+        assert wd <= side
+    lpad = _LANE  # lane offset so +-cmax column slices stay in bounds
+    wide = side + 2 * _LANE
+    # Scratch height: window lands at [marg, marg+wd); the value load reads
+    # [base, base+hv) with base <= 2*marg.
+    hv = _ceil8(marg + tm + cmax + 1)
+    dh = 2 * marg + hv
+    kernel = functools.partial(
+        _advect_kernel, b=b, dt=dt, n=n, tm=tm, wd=wd, side=side,
+        cmax=cmax, lpad=lpad,
+    )
+    blk = pl.BlockSpec((tm, side), lambda gi: (gi, 0), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=(side // tm,),
+        out_shape=jax.ShapeDtypeStruct((side, side), d0.dtype),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY), blk, blk],
+        out_specs=blk,
+        scratch_shapes=[
+            pltpu.VMEM((dh, wide), d0.dtype),
+            pltpu.VMEM((hv, wide), d0.dtype),
+            pltpu.VMEM((_ceil8(tm + 1), wide), d0.dtype),
+            pltpu.VMEM((tm, side), d0.dtype),
+            pltpu.SemaphoreType.DMA((1,)),
+        ],
+        interpret=INTERPRET,
+    )(d0, u, v)
+
+
+# ---------------------------------------------------------------------------
+# Divergence and pressure-gradient kernels (1-halo stencils)
+# ---------------------------------------------------------------------------
+
+
+_M1 = 8  # aligned margin for 1-halo kernels
+
+
+def _load_center_updown(win, r0, start, tm: int, side: int):
+    """Aligned value-load + static slices: rows r0-1, r0, r0+1 .. of the
+    window (which was DMA'd to land at row margin _M1)."""
+    base = pl.multiple_of(r0 - start, 8)
+    hv = _ceil8(_M1 + tm + 2)
+    V = win[pl.ds(base, hv), :]
+    center = V[_M1 : _M1 + tm, :]
+    up = V[_M1 - 1 : _M1 - 1 + tm, :]
+    down = V[_M1 + 1 : _M1 + 1 + tm, :]
+    return center, up, down
+
+
+def _divergence_kernel(
+    u_hbm, v_hbm, out_ref, uwin, vwin, sems,
+    *, n: int, tm: int, wd: int, side: int,
+):
+    gi = pl.program_id(0)
+    r0 = gi * tm
+    start = pl.multiple_of(jnp.clip(r0 - _M1, 0, side - wd), 8)
+    cu = pltpu.make_async_copy(
+        u_hbm.at[pl.ds(start, wd), :], uwin.at[_M1 : _M1 + wd, :], sems.at[0]
+    )
+    cv = pltpu.make_async_copy(
+        v_hbm.at[pl.ds(start, wd), :], vwin.at[_M1 : _M1 + wd, :], sems.at[1]
+    )
+    cu.start()
+    cv.start()
+    cu.wait()
+    cv.wait()
+
+    dt = out_ref.dtype
+    h = jnp.asarray(1.0, dt) / n
+    u_c, _, _ = _load_center_updown(uwin, r0, start, tm, side)
+    _, v_up, v_dn = _load_center_updown(vwin, r0, start, tm, side)
+    du = jnp.concatenate(
+        [u_c[:, 1:2], u_c[:, 2:] - u_c[:, :-2], u_c[:, side - 2 : side - 1]],
+        axis=1,
+    )  # edge lanes are garbage; overwritten by the BC epilogue
+    out_ref[:] = (jnp.asarray(-0.5, dt) * h) * (du + (v_dn - v_up))
+    _apply_bnd_window(out_ref, 0, r0, tm, side)
+
+
+def _gradient_kernel(
+    p_hbm, u_ref, v_ref, uout, vout, pwin, sems,
+    *, n: int, tm: int, wd: int, side: int,
+):
+    gi = pl.program_id(0)
+    r0 = gi * tm
+    start = pl.multiple_of(jnp.clip(r0 - _M1, 0, side - wd), 8)
+    cp = pltpu.make_async_copy(
+        p_hbm.at[pl.ds(start, wd), :], pwin.at[_M1 : _M1 + wd, :], sems.at[0]
+    )
+    cp.start()
+    cp.wait()
+
+    dt = pwin.dtype
+    h = jnp.asarray(1.0, dt) / n
+    half = jnp.asarray(0.5, dt)
+    p_c, p_up, p_dn = _load_center_updown(pwin, r0, start, tm, side)
+    dp = jnp.concatenate(
+        [p_c[:, 1:2], p_c[:, 2:] - p_c[:, :-2], p_c[:, side - 2 : side - 1]],
+        axis=1,
+    )
+    uout[:] = u_ref[:] - (half * dp) / h
+    vout[:] = v_ref[:] - (half * (p_dn - p_up)) / h
+    _apply_bnd_window(uout, 1, r0, tm, side)
+    _apply_bnd_window(vout, 2, r0, tm, side)
+
+
+def _win_dims(side: int, tm: int) -> tuple[int, int]:
+    """(wd, dh) for 1-halo kernels: DMA window height and scratch height."""
+    wd = side if tm == side else tm + 2 * _M1
+    dh = 2 * _M1 + _ceil8(_M1 + tm + 2)
+    return wd, max(dh, _M1 + wd)
+
+
+@functools.partial(jax.jit, static_argnames=("n",))
+def divergence_p(u, v, n):
+    side = n + 2
+    tm = _pick_tm(side)
+    wd, dh = _win_dims(side, tm)
+    kernel = functools.partial(_divergence_kernel, n=n, tm=tm, wd=wd, side=side)
+    return pl.pallas_call(
+        kernel,
+        grid=(side // tm,),
+        out_shape=jax.ShapeDtypeStruct((side, side), u.dtype),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 2,
+        out_specs=pl.BlockSpec((tm, side), lambda gi: (gi, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((dh, side), u.dtype),
+            pltpu.VMEM((dh, side), u.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=INTERPRET,
+    )(u, v)
+
+
+@functools.partial(jax.jit, static_argnames=("n",))
+def gradient_p(u, v, p, n):
+    side = n + 2
+    tm = _pick_tm(side)
+    wd, dh = _win_dims(side, tm)
+    kernel = functools.partial(_gradient_kernel, n=n, tm=tm, wd=wd, side=side)
+    blk = pl.BlockSpec((tm, side), lambda gi: (gi, 0), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=(side // tm,),
+        out_shape=(
+            jax.ShapeDtypeStruct((side, side), u.dtype),
+            jax.ShapeDtypeStruct((side, side), u.dtype),
+        ),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY), blk, blk],
+        out_specs=(blk, blk),
+        scratch_shapes=[
+            pltpu.VMEM((dh, side), u.dtype),
+            pltpu.SemaphoreType.DMA((1,)),
+        ],
+        interpret=INTERPRET,
+    )(p, u, v)
+
+
+# ---------------------------------------------------------------------------
+# OpSet wiring
+# ---------------------------------------------------------------------------
+
+
+def make_opset(cfg: SimConfig) -> OpSet:
+    if not supports(cfg):
+        raise ValueError(
+            f"pallas backend does not support side={cfg.n + 2} (ndim={cfg.ndim})"
+        )
+    cmax = getattr(cfg, "max_courant", 4)
+    fuse = cfg.fuse_sweeps or 20
+
+    def diffuse(b, x_init, x0, alpha, beta, iters):
+        return fused_jacobi(b, x_init, x0, alpha, beta, iters, max_fused=fuse)
+
+    def advect(b, d0, u, v, dt, n):
+        return advect_shift(b, d0, u, v, dt, n, cmax=cmax)
+
+    def divergence(u, v, n):
+        return divergence_p(u, v, n)
+
+    def pressure_solve(div, iters):
+        return fused_jacobi(
+            0, div, div, 1.0, 4.0, iters, zero_init=True, max_fused=fuse
+        )
+
+    def apply_pressure_gradient(u, v, p, n):
+        return gradient_p(u, v, p, n)
+
+    return OpSet(
+        diffuse=diffuse,
+        advect=advect,
+        divergence=divergence,
+        pressure_solve=pressure_solve,
+        apply_pressure_gradient=apply_pressure_gradient,
+    )

@@ -1,0 +1,294 @@
+"""Multi-chip spatial decomposition of the stable-fluids step.
+
+Design (SURVEY.md §2.3 "Distributed backend"): the padded (n+2, n+2) grid is
+partitioned block-wise over a 2-D device mesh; every stencil sweep exchanges
+a 1-cell halo with the four mesh neighbors via ``lax.ppermute`` (neighbor-only
+traffic — rides ICI, never DCN), and the physical boundary rule is applied
+*locally* by the shards that own a wall.  This is the chip-level
+generalization of the reference's CUDA-block halo tiles
+(``smPar/FluidParallelBlockPerElement-SM.cu:169-192``) — except functional:
+no barriers, no divergent ``__syncthreads`` (cf. the precedence-bugged edge
+guards, ``naivePar/...BlockPerElement-Naive.cu:134-141``).
+
+Semantics are bit-compatible with the single-chip path: the local update
+expressions are the same jnp expressions evaluated on local blocks, including
+the reference quirk that a Jacobi initial guess contributes its *raw* ghost
+ring to the first sweep (sources have live border values,
+``FluidSequential.c:244-271``).
+
+Advection all-gathers the advected field (the backtrace displacement is not
+halo-bounded: ``dt*n*|u|`` can span many cells, ``FluidSequential.c:111``);
+everything else moves one halo ring per sweep.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..core.config import SimConfig
+from ..core.state import FluidState, Sources
+
+__all__ = ["make_sharded_step_fn", "shard_state"]
+
+
+# ---------------------------------------------------------------------------
+# Local-block helpers (run inside shard_map; x is an (m, k) tile of the
+# padded global grid).
+# ---------------------------------------------------------------------------
+
+
+def _axis_size(axis: str) -> int:
+    return jax.lax.axis_size(axis)
+
+
+def _global_coords(x: jnp.ndarray):
+    """Global (row, col) index arrays for a local block."""
+    m, k = x.shape
+    r0 = jax.lax.axis_index("x") * m
+    c0 = jax.lax.axis_index("y") * k
+    gr = r0 + jnp.arange(m)[:, None]  # (m, 1)
+    gc = c0 + jnp.arange(k)[None, :]  # (1, k)
+    return gr, gc
+
+
+def _neighbor_halos(x: jnp.ndarray, px: int, py: int):
+    """1-deep halo rows/cols from the four mesh neighbors.
+
+    Wall-side shards receive zeros — harmless, because the stencil is only
+    evaluated on global-interior cells and wall shards own the ghost ring
+    themselves.
+    """
+    m, k = x.shape
+    dt = x.dtype
+    if px > 1:
+        fwd = [(i, i + 1) for i in range(px - 1)]
+        bwd = [(i + 1, i) for i in range(px - 1)]
+        top = jax.lax.ppermute(x[-1:, :], "x", fwd)      # from row-above shard
+        bottom = jax.lax.ppermute(x[:1, :], "x", bwd)    # from row-below shard
+    else:
+        top = jnp.zeros((1, k), dt)
+        bottom = jnp.zeros((1, k), dt)
+    if py > 1:
+        fwd = [(i, i + 1) for i in range(py - 1)]
+        bwd = [(i + 1, i) for i in range(py - 1)]
+        left = jax.lax.ppermute(x[:, -1:], "y", fwd)
+        right = jax.lax.ppermute(x[:, :1], "y", bwd)
+    else:
+        left = jnp.zeros((m, 1), dt)
+        right = jnp.zeros((m, 1), dt)
+    return top, bottom, left, right
+
+
+def _extend(x: jnp.ndarray, px: int, py: int) -> jnp.ndarray:
+    """(m, k) local block -> (m+2, k+2) with neighbor halos (corner cells of
+    the extension are never read by the 5-point stencil)."""
+    m, k = x.shape
+    dt = x.dtype
+    top, bottom, left, right = _neighbor_halos(x, px, py)
+    rows = jnp.concatenate([top, x, bottom], axis=0)  # (m+2, k)
+    zc = jnp.zeros((1, 1), dt)
+    lcol = jnp.concatenate([zc, left, zc], axis=0)    # (m+2, 1)
+    rcol = jnp.concatenate([zc, right, zc], axis=0)
+    return jnp.concatenate([lcol, rows, rcol], axis=1)
+
+
+def _shifts(x: jnp.ndarray):
+    """In-block neighbor views (edge entries are don't-care garbage, always
+    masked): l[r,c]=x[r,c+1], r[r,c]=x[r,c-1], u[r,c]=x[r+1,c], d[r,c]=x[r-1,c]."""
+    xl = jnp.concatenate([x[:, 1:], x[:, -1:]], axis=1)
+    xr = jnp.concatenate([x[:, :1], x[:, :-1]], axis=1)
+    xu = jnp.concatenate([x[1:, :], x[-1:, :]], axis=0)
+    xd = jnp.concatenate([x[:1, :], x[:-1, :]], axis=0)
+    return xl, xr, xu, xd
+
+
+def _apply_bnd_local(b: int, x: jnp.ndarray, n: int) -> jnp.ndarray:
+    """Local application of ``set_bnd`` (``FluidSequential.c:62-75``) to the
+    cells of the global ghost ring this shard owns."""
+    dt = x.dtype
+    sx = jnp.asarray(-1.0 if b == 1 else 1.0, dt)
+    sy = jnp.asarray(-1.0 if b == 2 else 1.0, dt)
+    gr, gc = _global_coords(x)
+    row0 = gr == 0
+    rowN1 = gr == n + 1
+    col0 = gc == 0
+    colN1 = gc == n + 1
+    row_int = (gr >= 1) & (gr <= n)
+    col_int = (gc >= 1) & (gc <= n)
+
+    xl, xr, xu, xd = _shifts(x)
+    x = jnp.where(col0 & row_int, sx * xl, x)
+    x = jnp.where(colN1 & row_int, sx * xr, x)
+    x = jnp.where(row0 & col_int, sy * xu, x)
+    x = jnp.where(rowN1 & col_int, sy * xd, x)
+
+    # Corners read the just-updated edge ghosts (reference order: edges in
+    # the i-loop, then corners, FluidSequential.c:65-74).
+    xl, xr, xu, xd = _shifts(x)
+    half = jnp.asarray(0.5, dt)
+    hpart = jnp.where(col0, xl, xr)
+    vpart = jnp.where(row0, xu, xd)
+    corner = (row0 | rowN1) & (col0 | colN1)
+    return jnp.where(corner, half * (hpart + vpart), x)
+
+
+def _interior_mask(x: jnp.ndarray, n: int) -> jnp.ndarray:
+    gr, gc = _global_coords(x)
+    return (gr >= 1) & (gr <= n) & (gc >= 1) & (gc <= n)
+
+
+def _jacobi_sweep_local(
+    b: int, x, rhs, alpha, beta, n: int, px: int, py: int
+):
+    ext = _extend(x, px, py)
+    neigh = ((ext[1:-1, :-2] + ext[1:-1, 2:]) + ext[:-2, 1:-1]) + ext[2:, 1:-1]
+    new = (rhs + alpha * neigh) / beta
+    x = jnp.where(_interior_mask(x, n), new, x)
+    return _apply_bnd_local(b, x, n)
+
+
+def _diffuse_local(b, x_init, rhs, alpha, beta, iters, n, px, py):
+    dt = rhs.dtype
+    a = jnp.asarray(alpha, dt)
+    bt = jnp.asarray(beta, dt)
+
+    def body(_, x):
+        return _jacobi_sweep_local(b, x, rhs, a, bt, n, px, py)
+
+    return jax.lax.fori_loop(0, iters, body, x_init)
+
+
+def _gather_global(x: jnp.ndarray) -> jnp.ndarray:
+    """Assemble the full padded grid on every shard (for advection)."""
+    full = jax.lax.all_gather(x, "x", axis=0, tiled=True)
+    return jax.lax.all_gather(full, "y", axis=1, tiled=True)
+
+
+def _advect_local(b, d0, u, v, dtim, n, px, py):
+    dt = d0.dtype
+    d0_full = _gather_global(d0)
+    gr, gc = _global_coords(d0)
+    dt0 = jnp.asarray(dtim, dt) * n
+    xx = gc.astype(dt) - dt0 * u
+    yy = gr.astype(dt) - dt0 * v
+    lo = jnp.asarray(0.5, dt)
+    hi = jnp.asarray(n + 0.5, dt)
+    xx = jnp.clip(xx, lo, hi)
+    yy = jnp.clip(yy, lo, hi)
+    j0 = xx.astype(jnp.int32)
+    i0 = yy.astype(jnp.int32)
+    s1 = xx - j0.astype(dt)
+    s0 = jnp.asarray(1.0, dt) - s1
+    t1 = yy - i0.astype(dt)
+    t0 = jnp.asarray(1.0, dt) - t1
+    side = n + 2
+    flat = d0_full.reshape(-1)
+    base = i0 * side + j0
+    g00 = jnp.take(flat, base)
+    g10 = jnp.take(flat, base + side)
+    g01 = jnp.take(flat, base + 1)
+    g11 = jnp.take(flat, base + side + 1)
+    interior = s0 * (t0 * g00 + t1 * g10) + s1 * (t0 * g01 + t1 * g11)
+    x = jnp.where(_interior_mask(d0, n), interior, d0)
+    return _apply_bnd_local(b, x, n)
+
+
+def _divergence_local(u, v, n, px, py):
+    dt = u.dtype
+    ue = _extend(u, px, py)
+    ve = _extend(v, px, py)
+    h = jnp.asarray(1.0, dt) / n
+    d = (jnp.asarray(-0.5, dt) * h) * (
+        (ue[1:-1, 2:] - ue[1:-1, :-2]) + (ve[2:, 1:-1] - ve[:-2, 1:-1])
+    )
+    x = jnp.where(_interior_mask(u, n), d, jnp.zeros_like(u))
+    return _apply_bnd_local(0, x, n)
+
+
+def _gradient_local(u, v, p, n, px, py):
+    dt = u.dtype
+    pe = _extend(p, px, py)
+    h = jnp.asarray(1.0, dt) / n
+    half = jnp.asarray(0.5, dt)
+    un = u - (half * (pe[1:-1, 2:] - pe[1:-1, :-2])) / h
+    vn = v - (half * (pe[2:, 1:-1] - pe[:-2, 1:-1])) / h
+    mask = _interior_mask(u, n)
+    u = jnp.where(mask, un, u)
+    v = jnp.where(mask, vn, v)
+    return _apply_bnd_local(1, u, n), _apply_bnd_local(2, v, n)
+
+
+def _project_local(u, v, n, iters, px, py):
+    div = _divergence_local(u, v, n, px, py)
+    p = _diffuse_local(0, jnp.zeros_like(div), div, 1.0, 4.0, iters, n, px, py)
+    return _gradient_local(u, v, p, n, px, py)
+
+
+# ---------------------------------------------------------------------------
+# Step composition (local blocks) — mirrors models/stable_fluids_2d.py
+# ---------------------------------------------------------------------------
+
+
+def _step_local(cfg: SimConfig, px: int, py: int, state: FluidState, src: Sources):
+    n, dtim = cfg.n, cfg.dt
+    it = cfg.jacobi_iters
+    dt_c = jnp.asarray(dtim, state.u.dtype)
+
+    u = state.u + dt_c * src.u
+    v = state.v + dt_c * src.v
+    alpha = cfg.diffusion_alpha_visc
+    beta = 1.0 + 4.0 * alpha
+    u = _diffuse_local(1, src.u, u, alpha, beta, it, n, px, py)
+    v = _diffuse_local(2, src.v, v, alpha, beta, it, n, px, py)
+    u, v = _project_local(u, v, n, it, px, py)
+    u0, v0 = u, v
+    u = _advect_local(1, u0, u0, v0, dtim, n, px, py)
+    v = _advect_local(2, v0, u0, v0, dtim, n, px, py)
+    u, v = _project_local(u, v, n, it, px, py)
+
+    dens = state.dens + dt_c * src.dens
+    alpha = cfg.diffusion_alpha_diff
+    beta = 1.0 + 4.0 * alpha
+    dens = _diffuse_local(0, src.dens, dens, alpha, beta, it, n, px, py)
+    dens = _advect_local(0, dens, u, v, dtim, n, px, py)
+    return FluidState(dens=dens, u=u, v=v)
+
+
+def make_sharded_step_fn(
+    cfg: SimConfig, mesh: Mesh
+) -> Callable[[FluidState, Sources], FluidState]:
+    """A jitted multi-chip step.  Inputs/outputs are global padded grids
+    sharded ``P("x", "y")`` over ``mesh``; requires ``(n+2)`` divisible by
+    both mesh dimensions (pick n = multiple-of-mesh minus 2, like the
+    reference's ``N = 2^13 - 2``, ``FluidSequential.c:6``)."""
+    px, py = mesh.shape["x"], mesh.shape["y"]
+    side = cfg.n + 2
+    if side % px or side % py:
+        raise ValueError(
+            f"grid side {side} not divisible by mesh shape ({px}, {py})"
+        )
+
+    spec = P("x", "y")
+    state_specs = FluidState(dens=spec, u=spec, v=spec, w=None)
+    src_specs = Sources(dens=spec, u=spec, v=spec, w=None)
+
+    local = functools.partial(_step_local, cfg, px, py)
+    sharded = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(state_specs, src_specs),
+        out_specs=state_specs,
+    )
+    return jax.jit(sharded)
+
+
+def shard_state(tree, mesh: Mesh):
+    """Device-put a state/sources pytree with the grid sharding."""
+    sh = NamedSharding(mesh, P("x", "y"))
+    return jax.tree.map(
+        lambda a: jax.device_put(a, sh) if a is not None else None, tree
+    )

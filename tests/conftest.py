@@ -6,12 +6,21 @@ runs identically; only speed differs).  Must be set before jax import.
 """
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Belt: env vars for a clean interpreter...
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+# ...and suspenders: the sandbox's sitecustomize imports jax at interpreter
+# startup (registering the TPU tunnel backend), which latches JAX_PLATFORMS
+# before this file runs — override via jax.config, which wins either way.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

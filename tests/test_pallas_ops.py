@@ -1,0 +1,158 @@
+"""Differential tests: Pallas kernels vs jnp reference ops.
+
+Run in Pallas interpreter mode on CPU (bit-identical semantics to the Mosaic
+compilation path at the JAX level); the same kernels execute compiled on TPU.
+Covers strip tiling (side > single-strip threshold is emulated by patching
+the strip picker), wall strips, boundary modes, multi-round-trip solves, and
+the masked-shift advection window.
+"""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from fluidsimulationcuda_tpu import ops
+from fluidsimulationcuda_tpu.kernels import pallas_ops
+
+pallas_ops.INTERPRET = True
+
+TOL = dict(rtol=1e-6, atol=1e-6)
+
+
+def _grid(key, side, scale=1.0):
+    return (
+        jax.random.uniform(jax.random.key(key), (side, side), jnp.float32, -1, 1)
+        * scale
+    )
+
+
+@pytest.fixture
+def strip_mode(monkeypatch):
+    """Force multi-strip tiling even on small grids so the halo/window logic
+    is exercised without 2048² interpreter runs."""
+
+    def pick(side):
+        for tm in (16, 8):
+            if side % tm == 0 and side > tm:
+                return tm
+        return side
+
+    monkeypatch.setattr(pallas_ops, "_pick_tm", pick)
+
+
+@pytest.mark.parametrize("b", [0, 1, 2])
+@pytest.mark.parametrize("iters", [1, 3, 20, 23])
+def test_fused_jacobi_single_strip(b, iters):
+    side = 64
+    x, x0 = _grid(0, side), _grid(1, side)
+    want = ops.diffuse(b, x, x0, 0.42, 2.68, iters)
+    got = pallas_ops.fused_jacobi(b, x, x0, 0.42, 2.68, iters)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), **TOL)
+
+
+@pytest.mark.parametrize("b", [0, 1, 2])
+@pytest.mark.parametrize("iters", [1, 2, 5])
+def test_fused_jacobi_strips(strip_mode, b, iters):
+    side = 64  # 4 strips of 16
+    x, x0 = _grid(2, side), _grid(3, side)
+    want = ops.diffuse(b, x, x0, 0.3, 2.2, iters)
+    got = pallas_ops.fused_jacobi(b, x, x0, 0.3, 2.2, iters)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), **TOL)
+
+
+def test_fused_jacobi_multi_roundtrip(strip_mode):
+    """iters > max_fused splits into several kernel calls."""
+    side = 32
+    x, x0 = _grid(4, side), _grid(5, side)
+    want = ops.diffuse(1, x, x0, 0.1, 1.4, 11)
+    got = pallas_ops.fused_jacobi(1, x, x0, 0.1, 1.4, 11, max_fused=4)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), **TOL)
+
+
+def test_pressure_solve_zero_init(strip_mode):
+    side = 32
+    div = _grid(6, side, 0.01)
+    want = ops.pressure_solve(div, 8)
+    got = pallas_ops.fused_jacobi(0, div, div, 1.0, 4.0, 8, zero_init=True,
+                                  max_fused=8)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), **TOL)
+
+
+@pytest.mark.parametrize("b", [0, 1, 2])
+def test_advect(strip_mode, b):
+    side = 64
+    n = side - 2
+    d0 = _grid(7, side)
+    # displacement well inside the cmax=4 window: |dt*n*u| <= 0.016*62*2 ~ 2
+    u = _grid(8, side, 2.0)
+    v = _grid(9, side, 2.0)
+    want = ops.advect(b, d0, u, v, 0.016, n)
+    got = pallas_ops.advect_shift(b, d0, u, v, 0.016, n, cmax=4)
+    # XLA FMA-contracts the backtrace (x = j - dt0*u) differently across
+    # compilation contexts: a 1-ulp shift in x moves the bilinear weights by
+    # ~4e-6.  Same class of difference the reference accepted between CUDA
+    # and CPU (~1e-6, document/main.tex:349).
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=1e-5, atol=2e-5
+    )
+
+
+def test_advect_zero_velocity_identity(strip_mode):
+    side = 32
+    n = side - 2
+    d0 = _grid(10, side)
+    z = jnp.zeros_like(d0)
+    got = pallas_ops.advect_shift(0, d0, z, z, 0.016, n, cmax=2)
+    np.testing.assert_array_equal(
+        np.asarray(got)[1:-1, 1:-1], np.asarray(d0)[1:-1, 1:-1]
+    )
+
+
+def test_advect_window_clamp_is_bounded(strip_mode):
+    """Velocities beyond the window produce clamped (still finite, in-range)
+    results rather than garbage."""
+    side = 32
+    n = side - 2
+    d0 = _grid(11, side)
+    big = jnp.full((side, side), 100.0, jnp.float32)
+    got = np.asarray(pallas_ops.advect_shift(0, d0, big, big, 0.016, n, cmax=2))
+    assert np.isfinite(got).all()
+    assert got.min() >= np.asarray(d0).min() - 1e-6
+    assert got.max() <= np.asarray(d0).max() + 1e-6
+
+
+@pytest.mark.parametrize("fn_pair", ["divergence", "gradient"])
+def test_div_grad(strip_mode, fn_pair):
+    side = 64
+    n = side - 2
+    u, v, p = _grid(12, side), _grid(13, side), _grid(14, side)
+    if fn_pair == "divergence":
+        want = ops.divergence(u, v, n)
+        got = pallas_ops.divergence_p(u, v, n)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), **TOL)
+    else:
+        wu, wv = ops.apply_pressure_gradient(u, v, p, n)
+        gu, gv = pallas_ops.gradient_p(u, v, p, n)
+        np.testing.assert_allclose(np.asarray(gu), np.asarray(wu), **TOL)
+        np.testing.assert_allclose(np.asarray(gv), np.asarray(wv), **TOL)
+
+
+def test_full_step_pallas_backend(strip_mode):
+    """End-to-end: one full step through the pallas OpSet vs reference."""
+    from fluidsimulationcuda_tpu import SimConfig, reference_init
+    from fluidsimulationcuda_tpu.models.stable_fluids_2d import step
+
+    cfg_ref = SimConfig(n=30, jacobi_iters=6, backend="reference")
+    cfg_pal = cfg_ref.replace(backend="pallas", max_courant=2)
+    state, sources = reference_init(jax.random.key(15), cfg_ref)
+    want = step(cfg_ref, state, sources)
+    got = step(cfg_pal, state, sources)
+    for name in ("dens", "u", "v"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(got, name)),
+            np.asarray(getattr(want, name)),
+            err_msg=name,
+            rtol=1e-5,
+            atol=2e-5,  # FMA-contraction ulp noise in advection; see above
+        )
