@@ -26,13 +26,19 @@ from ..ops.project import (
 
 
 class OpSet(NamedTuple):
-    """The five-op compute surface (reference §2.2)."""
+    """The five-op compute surface (reference §2.2) plus a fused pair
+    advection (same velocity, shared backtrace) for the u/v self-advection."""
 
     diffuse: Callable
     advect: Callable
     divergence: Callable
     pressure_solve: Callable
     apply_pressure_gradient: Callable
+    advect_pair: Callable
+
+
+def _advect_pair_ref(b1, b2, d1, d2, u, v, dt, n):
+    return _advect_ref(b1, d1, u, v, dt, n), _advect_ref(b2, d2, u, v, dt, n)
 
 
 _REFERENCE_OPS = OpSet(
@@ -41,6 +47,7 @@ _REFERENCE_OPS = OpSet(
     divergence=_divergence_ref,
     pressure_solve=_pressure_ref,
     apply_pressure_gradient=_apg_ref,
+    advect_pair=_advect_pair_ref,
 )
 
 

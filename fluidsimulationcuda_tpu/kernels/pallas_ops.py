@@ -45,6 +45,7 @@ from .dispatch import OpSet
 INTERPRET = False
 
 _LANE = 128
+_ADVECT_TM = 64  # advection strip height (tunable; VMEM-bounded)
 
 
 def _signs(b: int) -> tuple[float, float]:
@@ -72,15 +73,20 @@ def supports(cfg: SimConfig) -> bool:
 # ---------------------------------------------------------------------------
 
 
-def _apply_bnd_window(dst, b: int, start, wr: int, side: int):
+def _apply_bnd_window(dst, b: int, start, wr: int, side: int,
+                      corners: bool = True):
     """Re-derive the ghost cells of the global grid that fall inside this
     window (rows [start, start+wr)) from the just-computed interior —
-    ``set_bnd`` (``FluidSequential.c:62-75``) fused into the sweep."""
+    ``set_bnd`` (``FluidSequential.c:62-75``) fused into the sweep.
+
+    Corner cells are never read by the 5-point stencil, so multi-sweep
+    kernels pass ``corners=False`` per sweep and fix them once at the end
+    (the tiny 1x1 stores measurably dominate otherwise).
+    """
     sx, sy = _signs(b)
     dt = dst.dtype
     sx = jnp.asarray(sx, dt)
     sy = jnp.asarray(sy, dt)
-    half = jnp.asarray(0.5, dt)
 
     # Ghost columns, all window rows (stale / wall rows fixed below).
     dst[:, 0:1] = sx * dst[:, 1:2]
@@ -89,7 +95,23 @@ def _apply_bnd_window(dst, b: int, start, wr: int, side: int):
     @pl.when(start == 0)
     def _():
         dst[0:1, :] = sy * dst[1:2, :]
-        # Corners as 1x1 slice stores (Mosaic cannot store scalars to VMEM).
+
+    @pl.when(start + wr == side)
+    def _():
+        dst[wr - 1 : wr, :] = sy * dst[wr - 2 : wr - 1, :]
+
+    if corners:
+        _apply_corners(dst, start, wr, side)
+
+
+def _apply_corners(dst, start, wr: int, side: int):
+    """Corner averaging (``FluidSequential.c:71-74``) for whichever global
+    corners fall inside rows [start, start+wr).  1x1 slice stores (Mosaic
+    cannot store scalars to VMEM)."""
+    half = jnp.asarray(0.5, dst.dtype)
+
+    @pl.when(start == 0)
+    def _():
         dst[0:1, 0:1] = half * (dst[0:1, 1:2] + dst[1:2, 0:1])
         dst[0:1, side - 1 : side] = half * (
             dst[0:1, side - 2 : side - 1] + dst[1:2, side - 1 : side]
@@ -97,7 +119,6 @@ def _apply_bnd_window(dst, b: int, start, wr: int, side: int):
 
     @pl.when(start + wr == side)
     def _():
-        dst[wr - 1 : wr, :] = sy * dst[wr - 2 : wr - 1, :]
         dst[wr - 1 : wr, 0:1] = half * (
             dst[wr - 1 : wr, 1:2] + dst[wr - 2 : wr - 1, 0:1]
         )
@@ -153,7 +174,9 @@ def _jacobi_kernel(
         # margin, never read for output; wall rows fixed by the BC below).
         dst[0:1, :] = s[0:1, :]
         dst[wr - 1 : wr, :] = s[wr - 1 : wr, :]
-        _apply_bnd_window(dst, b, start, wr, side)
+        # Corners deferred to the output epilogue: they are never stencil
+        # inputs and the per-sweep 1x1 stores dominate the kernel otherwise.
+        _apply_bnd_window(dst, b, start, wr, side, corners=False)
 
     def double_sweep(_, carry):
         sweep(buf_a, buf_b)
@@ -166,6 +189,7 @@ def _jacobi_kernel(
         buf_a[:] = buf_b[:]
 
     out_ref[:] = buf_a[pl.ds(pl.multiple_of(r0 - start, 8), tm), :]
+    _apply_corners(out_ref, r0, tm, side)
 
 
 def fused_jacobi(
@@ -246,10 +270,18 @@ def _fused_jacobi_call(b, x, x0, alpha, beta, sweeps, tm, side, zero_init):
 
 
 def _advect_kernel(
-    d0_hbm, u_ref, v_ref, out_ref, dwin, wbuf, rows_ref, acc_ref, sems,
-    *, b: int, dt: float, n: int, tm: int, wd: int, side: int,
+    *refs,
+    nf: int, bs: tuple, dt: float, n: int, tm: int, wd: int, side: int,
     cmax: int, lpad: int,
 ):
+    # Argument layout: nf d0 HBM refs, u, v | nf out refs | scratch:
+    # nf dwins, wbuf, rows_ref, g00, g01, g10, g11, sems.
+    d0_hbms = refs[:nf]
+    u_ref, v_ref = refs[nf], refs[nf + 1]
+    out_refs = refs[nf + 2 : 2 * nf + 2]
+    dwins = refs[2 * nf + 2 : 3 * nf + 2]
+    wbuf, rows_ref, g00, g01, g10, g11, sems = refs[3 * nf + 2 :]
+
     gi = pl.program_id(0)
     r0 = gi * tm
     # marg is 8-aligned (>= cmax+1) so r0 - start is a multiple of 8; the
@@ -258,12 +290,16 @@ def _advect_kernel(
     marg = _ceil8(cmax + 1)
     start = pl.multiple_of(jnp.clip(r0 - marg, 0, side - wd), 8)
 
-    cp = pltpu.make_async_copy(
-        d0_hbm.at[pl.ds(start, wd), :],
-        dwin.at[marg : marg + wd, lpad : lpad + side],
-        sems.at[0],
-    )
-    cp.start()
+    cps = [
+        pltpu.make_async_copy(
+            d0_hbms[f].at[pl.ds(start, wd), :],
+            dwins[f].at[marg : marg + wd, lpad : lpad + side],
+            sems.at[f],
+        )
+        for f in range(nf)
+    ]
+    for cp in cps:
+        cp.start()
 
     dtype = u_ref.dtype
     dt0 = jnp.asarray(dt, dtype) * n
@@ -293,37 +329,59 @@ def _advect_kernel(
     dj = j0 - gc.astype(jnp.int32)
     key = (di + cmax) * nshift + (dj + cmax)
 
-    cp.wait()
-
-    # Stage everything through scratch refs: a pure value chain makes Mosaic
-    # keep every unrolled term's intermediates live on the stack (measured
-    # ~49MB > 16MB VMEM).  wbuf gets one *aligned* dynamic load (Mosaic
-    # cannot prove alignment of per-term dynamic sublane offsets); per-a row
-    # slices of wbuf are static reads; per-term lane slices of rows_ref are
-    # static reads consumed immediately.  Local row of global row g in wbuf
-    # is g - r0 + marg.
+    # Gather loop as a fori_loop over the (2C+1)^2 shift terms with dynamic
+    # pltpu.roll: the body compiles once, so Mosaic's per-op stack allocation
+    # stays constant (a fully unrolled version measured 23-49MB of stack,
+    # over the 16MB VMEM).  wbuf gets one *aligned* dynamic load (Mosaic
+    # cannot prove alignment of dynamic sublane offsets; roll has no such
+    # constraint); the roll's wrap-around rows/lanes are never mask-selected.
+    # Four corner accumulators share one mask compare per term; the bilinear
+    # blend happens once per field after the gather, in the exact reference
+    # expression order (FluidSequential.c:136-137), bit-matching the jnp path.
     hv = _ceil8(marg + tm + cmax + 1)
     base = pl.multiple_of(r0 - start, 8)
-    wbuf[:] = dwin[pl.ds(base, hv), :]
 
-    acc_ref[:] = jnp.zeros((tm, side), dtype)
-    t = 0
-    for a in range(-cmax, cmax + 1):
-        rows_ref[0 : tm + 1, :] = wbuf[marg + a : marg + a + tm + 1, :]
-        for bb in range(-cmax, cmax + 1):
-            coff = lpad + bb  # static
-            p00 = rows_ref[0:tm, coff : coff + side]
-            p01 = rows_ref[0:tm, coff + 1 : coff + 1 + side]
-            p10 = rows_ref[1 : tm + 1, coff : coff + side]
-            p11 = rows_ref[1 : tm + 1, coff + 1 : coff + 1 + side]
-            # Exact reference expression order (FluidSequential.c:136-137)
-            # so results bit-match the jnp path.
-            patch = s0 * (t0 * p00 + t1 * p10) + s1 * (t0 * p01 + t1 * p11)
-            acc_ref[:] = jnp.where(key == t, patch, acc_ref[:])
-            t += 1
+    for f in range(nf):
+        cps[f].wait()
+        wbuf[0:hv, :] = dwins[f][pl.ds(base, hv), :]
+        zero = jnp.zeros((tm, side), dtype)
+        g00[:] = zero
+        g01[:] = zero
+        g10[:] = zero
+        g11[:] = zero
 
-    out_ref[:] = acc_ref[:]
-    _apply_bnd_window(out_ref, b, r0, tm, side)
+        # Outer loop over row shifts uses a dynamic *sublane* roll (cheap;
+        # dynamic lane rotates are log-cost and measured 2x slower); inner
+        # lane shifts are static slices.
+        def row_term(a_idx, carry):
+            a = a_idx - cmax
+            q = pltpu.roll(wbuf[0:hv, :], -a, 0)
+            rows_ref[0 : tm + 1, :] = q[marg : marg + tm + 1, :]
+            for bbi in range(nshift):
+                t = a_idx * nshift + bbi
+                coff = lpad + bbi - cmax  # static
+                m = key == t
+                g00[:] = jnp.where(
+                    m, rows_ref[0:tm, coff : coff + side], g00[:]
+                )
+                g01[:] = jnp.where(
+                    m, rows_ref[0:tm, coff + 1 : coff + 1 + side], g01[:]
+                )
+                g10[:] = jnp.where(
+                    m, rows_ref[1 : tm + 1, coff : coff + side], g10[:]
+                )
+                g11[:] = jnp.where(
+                    m, rows_ref[1 : tm + 1, coff + 1 : coff + 1 + side],
+                    g11[:],
+                )
+            return carry
+
+        jax.lax.fori_loop(0, nshift, row_term, 0)
+
+        out_refs[f][:] = s0 * (t0 * g00[:] + t1 * g10[:]) + s1 * (
+            t0 * g01[:] + t1 * g11[:]
+        )
+        _apply_bnd_window(out_refs[f], bs[f], r0, tm, side)
 
 
 def advect_shift(
@@ -338,18 +396,36 @@ def advect_shift(
 ) -> jnp.ndarray:
     """Semi-Lagrangian advection (semantics of ``ops.advect``,
     ``FluidSequential.c:107-141``) with in-VMEM masked-shift gather."""
-    return _advect_call(b, d0, u, v, float(dt), n, cmax)
+    return _advect_call((b,), d0, float(dt), n, cmax, u, v)[0]
 
 
-@functools.partial(jax.jit, static_argnames=("b", "dt", "n", "cmax"))
-def _advect_call(b, d0, u, v, dt, n, cmax):
+def advect_shift_fused(
+    bs: tuple,
+    d0s: tuple,
+    u: jnp.ndarray,
+    v: jnp.ndarray,
+    dt: float,
+    n: int,
+    *,
+    cmax: int = 4,
+) -> tuple:
+    """Advect several fields by the same velocity in one kernel (shared
+    backtrace and gather masks) — used for the u/v self-advection pair
+    (``FluidSequential.c:232,237``)."""
+    return _advect_call(tuple(bs), tuple(d0s), float(dt), n, cmax, u, v)
+
+
+@functools.partial(jax.jit, static_argnames=("bs", "dt", "n", "cmax"))
+def _advect_call(bs, d0s, dt, n, cmax, u, v):
+    if not isinstance(d0s, tuple):
+        d0s = (d0s,)
+    nf = len(d0s)
+    assert len(bs) == nf
     side = n + 2
     tm = _pick_tm(side)
     assert tm is not None
     if tm != side:
-        # Mosaic stack usage grows with strip height x (2C+1)^2 unrolled
-        # terms; short strips keep the kernel well under the VMEM limit.
-        tm = min(tm, 32)
+        tm = min(tm, _ADVECT_TM)
     marg = _ceil8(cmax + 1)
     if tm == side:
         wd = side
@@ -363,25 +439,32 @@ def _advect_call(b, d0, u, v, dt, n, cmax):
     hv = _ceil8(marg + tm + cmax + 1)
     dh = 2 * marg + hv
     kernel = functools.partial(
-        _advect_kernel, b=b, dt=dt, n=n, tm=tm, wd=wd, side=side,
+        _advect_kernel, nf=nf, bs=bs, dt=dt, n=n, tm=tm, wd=wd, side=side,
         cmax=cmax, lpad=lpad,
     )
     blk = pl.BlockSpec((tm, side), lambda gi: (gi, 0), memory_space=pltpu.VMEM)
-    return pl.pallas_call(
+    dtype = d0s[0].dtype
+    out = pl.pallas_call(
         kernel,
         grid=(side // tm,),
-        out_shape=jax.ShapeDtypeStruct((side, side), d0.dtype),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY), blk, blk],
-        out_specs=blk,
-        scratch_shapes=[
-            pltpu.VMEM((dh, wide), d0.dtype),
-            pltpu.VMEM((hv, wide), d0.dtype),
-            pltpu.VMEM((_ceil8(tm + 1), wide), d0.dtype),
-            pltpu.VMEM((tm, side), d0.dtype),
-            pltpu.SemaphoreType.DMA((1,)),
+        out_shape=tuple(
+            jax.ShapeDtypeStruct((side, side), dtype) for _ in range(nf)
+        ),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * nf + [blk, blk],
+        out_specs=tuple(blk for _ in range(nf)),
+        scratch_shapes=[pltpu.VMEM((dh, wide), dtype) for _ in range(nf)]
+        + [
+            pltpu.VMEM((hv, wide), dtype),
+            pltpu.VMEM((_ceil8(tm + 1), wide), dtype),
+            pltpu.VMEM((tm, side), dtype),
+            pltpu.VMEM((tm, side), dtype),
+            pltpu.VMEM((tm, side), dtype),
+            pltpu.VMEM((tm, side), dtype),
+            pltpu.SemaphoreType.DMA((nf,)),
         ],
         interpret=INTERPRET,
-    )(d0, u, v)
+    )(*d0s, u, v)
+    return out if isinstance(out, tuple) else (out,)
 
 
 # ---------------------------------------------------------------------------
@@ -533,6 +616,9 @@ def make_opset(cfg: SimConfig) -> OpSet:
     def advect(b, d0, u, v, dt, n):
         return advect_shift(b, d0, u, v, dt, n, cmax=cmax)
 
+    def advect_pair(b1, b2, d1, d2, u, v, dt, n):
+        return advect_shift_fused((b1, b2), (d1, d2), u, v, dt, n, cmax=cmax)
+
     def divergence(u, v, n):
         return divergence_p(u, v, n)
 
@@ -550,4 +636,5 @@ def make_opset(cfg: SimConfig) -> OpSet:
         divergence=divergence,
         pressure_solve=pressure_solve,
         apply_pressure_gradient=apply_pressure_gradient,
+        advect_pair=advect_pair,
     )

@@ -49,8 +49,7 @@ def vel_step(
 
     u, v = _project(u, v)
     u0, v0 = u, v
-    u = ops.advect(1, u0, u0, v0, cfg.dt, cfg.n)
-    v = ops.advect(2, v0, u0, v0, cfg.dt, cfg.n)
+    u, v = ops.advect_pair(1, 2, u0, v0, u0, v0, cfg.dt, cfg.n)
     return _project(u, v)
 
 
