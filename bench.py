@@ -24,7 +24,11 @@ import time
 
 import jax
 
-from fluidsimulationcuda_tpu import (
+from fluidsimulationcuda_tpu.utils.cache import enable_compilation_cache
+
+enable_compilation_cache()
+
+from fluidsimulationcuda_tpu import (  # noqa: E402
     SimConfig,
     make_step_fn,
     reference_init,

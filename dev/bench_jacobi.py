@@ -17,7 +17,7 @@ def ceil8(x):
 
 
 def make_jacobi(side, tm, sweeps, *, bc=True, unroll=False, recip=False,
-                edge_copy=True):
+                edge_copy=True, aligned=False):
     margin = ceil8(sweeps + 1)
     wr = side if tm == side else tm + 2 * margin
     alpha, beta = 0.0327, 1.1308
@@ -37,9 +37,18 @@ def make_jacobi(side, tm, sweeps, *, bc=True, unroll=False, recip=False,
 
         def sweep(src, dst):
             s = src[:]
-            neigh = ((s[1:-1, :-2] + s[1:-1, 2:]) + s[:-2, 1:-1]) + s[2:, 1:-1]
-            val = R[1:-1, 1:-1] + a_c * neigh
-            dst[1:-1, 1:-1] = val * ib if recip else val / b_c
+            if aligned:
+                sL = pltpu.roll(s, 1, 1)
+                sR = pltpu.roll(s, side - 1, 1)
+                sU = pltpu.roll(s, 1, 0)
+                sD = pltpu.roll(s, wr - 1, 0)
+                neigh = ((sL + sR) + sU) + sD
+                val = R[:] + a_c * neigh
+                dst[:] = val * ib if recip else val / b_c
+            else:
+                neigh = ((s[1:-1, :-2] + s[1:-1, 2:]) + s[:-2, 1:-1]) + s[2:, 1:-1]
+                val = R[1:-1, 1:-1] + a_c * neigh
+                dst[1:-1, 1:-1] = val * ib if recip else val / b_c
             if edge_copy:
                 dst[0:1, :] = s[0:1, :]
                 dst[wr - 1:wr, :] = s[wr - 1:wr, :]
@@ -100,12 +109,7 @@ if __name__ == "__main__":
     x = jax.random.uniform(jax.random.key(0), (side, side), jnp.float32)
     r = jax.random.uniform(jax.random.key(1), (side, side), jnp.float32)
 
-    timeit("tm=128 base(no corners)", make_jacobi(side, 128, 20), x, r)
-    timeit("tm=128 no-bc", make_jacobi(side, 128, 20, bc=False), x, r)
-    timeit("tm=128 no-edgecopy", make_jacobi(side, 128, 20, edge_copy=False), x, r)
-    timeit("tm=128 no-bc no-edge", make_jacobi(side, 128, 20, bc=False, edge_copy=False), x, r)
-    timeit("tm=128 unroll", make_jacobi(side, 128, 20, unroll=True), x, r)
-    timeit("tm=128 recip", make_jacobi(side, 128, 20, recip=True), x, r)
-    timeit("tm=128 all-opts", make_jacobi(side, 128, 20, bc=False, edge_copy=False, unroll=True, recip=True), x, r)
-    timeit("tm=128 sweeps=10", make_jacobi(side, 128, 10), x, r)
-    timeit("tm=64 sweeps=20", make_jacobi(side, 64, 20), x, r)
+    timeit("tm=128 base slice-offset", make_jacobi(side, 128, 20), x, r)
+    timeit("tm=128 ALIGNED rolls", make_jacobi(side, 128, 20, aligned=True, edge_copy=False), x, r)
+    timeit("tm=128 ALIGNED rolls recip", make_jacobi(side, 128, 20, aligned=True, edge_copy=False, recip=True), x, r)
+    timeit("tm=128 ALIGNED unroll", make_jacobi(side, 128, 20, aligned=True, edge_copy=False, unroll=True), x, r)

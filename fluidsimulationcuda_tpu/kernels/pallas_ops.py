@@ -167,13 +167,20 @@ def _jacobi_kernel(
     b_c = jnp.asarray(beta, dt)
 
     def sweep(src, dst):
+        # Fully-aligned formulation: static rolls instead of offset slices
+        # (Mosaic inserts a relayout for every unaligned load/store; rolls
+        # are single rotates — ~20% faster end to end).  Roll wrap-around
+        # garbage lands in the window edge rows / ghost columns: ghost
+        # columns and wall rows are re-derived by the BC right below, and
+        # edge-row garbage propagates inward only 1 row per sweep — exactly
+        # what the sweeps+1 validity margin covers.
         s = src[:]
-        neigh = ((s[1:-1, :-2] + s[1:-1, 2:]) + s[:-2, 1:-1]) + s[2:, 1:-1]
-        dst[1:-1, 1:-1] = (rhs_buf[1:-1, 1:-1] + a_c * neigh) / b_c
-        # Window edge rows: carry previous values (stale beyond validity
-        # margin, never read for output; wall rows fixed by the BC below).
-        dst[0:1, :] = s[0:1, :]
-        dst[wr - 1 : wr, :] = s[wr - 1 : wr, :]
+        sL = pltpu.roll(s, 1, 1)
+        sR = pltpu.roll(s, side - 1, 1)
+        sU = pltpu.roll(s, 1, 0)
+        sD = pltpu.roll(s, wr - 1, 0)
+        neigh = ((sL + sR) + sU) + sD
+        dst[:] = (rhs_buf[:] + a_c * neigh) / b_c
         # Corners deferred to the output epilogue: they are never stencil
         # inputs and the per-sweep 1x1 stores dominate the kernel otherwise.
         _apply_bnd_window(dst, b, start, wr, side, corners=False)
@@ -271,35 +278,24 @@ def _fused_jacobi_call(b, x, x0, alpha, beta, sweeps, tm, side, zero_init):
 
 def _advect_kernel(
     *refs,
-    nf: int, bs: tuple, dt: float, n: int, tm: int, wd: int, side: int,
-    cmax: int, lpad: int,
+    nf: int, bs: tuple, dt: float, n: int, tm: int, side: int,
+    cmax: int, lpad: int, self_adv: bool,
 ):
-    # Argument layout: nf d0 HBM refs, u, v | nf out refs | scratch:
-    # nf dwins, wbuf, rows_ref, g00, g01, g10, g11, sems.
-    d0_hbms = refs[:nf]
-    u_ref, v_ref = refs[nf], refs[nf + 1]
-    out_refs = refs[nf + 2 : 2 * nf + 2]
-    dwins = refs[2 * nf + 2 : 3 * nf + 2]
-    wbuf, rows_ref, g00, g01, g10, g11, sems = refs[3 * nf + 2 :]
+    # Argument layout: per field 3 shifted blocks (rows r0-tm, r0, r0+tm);
+    # then (u, v) center blocks unless self_adv (velocities are the fields
+    # themselves); then nf out blocks; scratch: wbuf, g00, g01, g10, g11.
+    blocks = refs[: 3 * nf]
+    idx = 3 * nf
+    if self_adv:
+        u_ref, v_ref = blocks[1], blocks[4]
+    else:
+        u_ref, v_ref = refs[idx], refs[idx + 1]
+        idx += 2
+    out_refs = refs[idx : idx + nf]
+    wbuf, g00, g01, g10, g11 = refs[idx + nf :]
 
     gi = pl.program_id(0)
     r0 = gi * tm
-    # marg is 8-aligned (>= cmax+1) so r0 - start is a multiple of 8; the
-    # margins also absorb per-term slices that fall outside the DMA'd region
-    # at wall strips (never mask-selected, but reads must be memory-safe).
-    marg = _ceil8(cmax + 1)
-    start = pl.multiple_of(jnp.clip(r0 - marg, 0, side - wd), 8)
-
-    cps = [
-        pltpu.make_async_copy(
-            d0_hbms[f].at[pl.ds(start, wd), :],
-            dwins[f].at[marg : marg + wd, lpad : lpad + side],
-            sems.at[f],
-        )
-        for f in range(nf)
-    ]
-    for cp in cps:
-        cp.start()
 
     dtype = u_ref.dtype
     dt0 = jnp.asarray(dt, dtype) * n
@@ -329,50 +325,46 @@ def _advect_kernel(
     dj = j0 - gc.astype(jnp.int32)
     key = (di + cmax) * nshift + (dj + cmax)
 
-    # Gather loop as a fori_loop over the (2C+1)^2 shift terms with dynamic
-    # pltpu.roll: the body compiles once, so Mosaic's per-op stack allocation
-    # stays constant (a fully unrolled version measured 23-49MB of stack,
-    # over the 16MB VMEM).  wbuf gets one *aligned* dynamic load (Mosaic
-    # cannot prove alignment of dynamic sublane offsets; roll has no such
-    # constraint); the roll's wrap-around rows/lanes are never mask-selected.
-    # Four corner accumulators share one mask compare per term; the bilinear
+    # The three shifted input blocks assemble a (3*tm)-row window in wbuf;
+    # local row of global row g is g - r0 + tm.  Wall strips receive
+    # duplicated (clamped) neighbor blocks — harmless, those rows are never
+    # mask-selected (i0 stays in [0, n]).  The gather runs as a fori_loop
+    # over row shifts (dynamic *sublane* roll — dynamic lane rotates are
+    # log-cost, and a fully unrolled loop blows Mosaic's per-op stack
+    # allocation past the 16MB VMEM) with static lane slices inside.  Four
+    # corner accumulators share one mask compare per term; the bilinear
     # blend happens once per field after the gather, in the exact reference
-    # expression order (FluidSequential.c:136-137), bit-matching the jnp path.
-    hv = _ceil8(marg + tm + cmax + 1)
-    base = pl.multiple_of(r0 - start, 8)
-
+    # expression order (FluidSequential.c:136-137), bit-matching the jnp
+    # path.
+    h3 = 3 * tm
     for f in range(nf):
-        cps[f].wait()
-        wbuf[0:hv, :] = dwins[f][pl.ds(base, hv), :]
+        m1, c0, p1 = blocks[3 * f : 3 * f + 3]
+        wbuf[0:tm, lpad : lpad + side] = m1[:]
+        wbuf[tm : 2 * tm, lpad : lpad + side] = c0[:]
+        wbuf[2 * tm : h3, lpad : lpad + side] = p1[:]
         zero = jnp.zeros((tm, side), dtype)
         g00[:] = zero
         g01[:] = zero
         g10[:] = zero
         g11[:] = zero
 
-        # Outer loop over row shifts uses a dynamic *sublane* roll (cheap;
-        # dynamic lane rotates are log-cost and measured 2x slower); inner
-        # lane shifts are static slices.
         def row_term(a_idx, carry):
             a = a_idx - cmax
-            q = pltpu.roll(wbuf[0:hv, :], -a, 0)
-            rows_ref[0 : tm + 1, :] = q[marg : marg + tm + 1, :]
+            q = pltpu.roll(wbuf[0:h3, :], -a, 0)
+            rows = q[tm : 2 * tm + 1, :]  # (tm+1, wide) value
             for bbi in range(nshift):
                 t = a_idx * nshift + bbi
                 coff = lpad + bbi - cmax  # static
                 m = key == t
-                g00[:] = jnp.where(
-                    m, rows_ref[0:tm, coff : coff + side], g00[:]
-                )
+                g00[:] = jnp.where(m, rows[0:tm, coff : coff + side], g00[:])
                 g01[:] = jnp.where(
-                    m, rows_ref[0:tm, coff + 1 : coff + 1 + side], g01[:]
+                    m, rows[0:tm, coff + 1 : coff + 1 + side], g01[:]
                 )
                 g10[:] = jnp.where(
-                    m, rows_ref[1 : tm + 1, coff : coff + side], g10[:]
+                    m, rows[1 : tm + 1, coff : coff + side], g10[:]
                 )
                 g11[:] = jnp.where(
-                    m, rows_ref[1 : tm + 1, coff + 1 : coff + 1 + side],
-                    g11[:],
+                    m, rows[1 : tm + 1, coff + 1 : coff + 1 + side], g11[:]
                 )
             return carry
 
@@ -396,7 +388,7 @@ def advect_shift(
 ) -> jnp.ndarray:
     """Semi-Lagrangian advection (semantics of ``ops.advect``,
     ``FluidSequential.c:107-141``) with in-VMEM masked-shift gather."""
-    return _advect_call((b,), d0, float(dt), n, cmax, u, v)[0]
+    return _advect_call((b,), (d0,), float(dt), n, cmax, False, u, v)[0]
 
 
 def advect_shift_fused(
@@ -408,62 +400,85 @@ def advect_shift_fused(
     n: int,
     *,
     cmax: int = 4,
+    self_advect: bool = False,
 ) -> tuple:
     """Advect several fields by the same velocity in one kernel (shared
     backtrace and gather masks) — used for the u/v self-advection pair
-    (``FluidSequential.c:232,237``)."""
-    return _advect_call(tuple(bs), tuple(d0s), float(dt), n, cmax, u, v)
+    (``FluidSequential.c:232,237``), where ``self_advect=True`` marks that
+    the velocities ARE the two advected fields (saves two input streams)."""
+    return _advect_call(
+        tuple(bs), tuple(d0s), float(dt), n, cmax, self_advect, u, v
+    )
 
 
-@functools.partial(jax.jit, static_argnames=("bs", "dt", "n", "cmax"))
-def _advect_call(bs, d0s, dt, n, cmax, u, v):
-    if not isinstance(d0s, tuple):
-        d0s = (d0s,)
+@functools.partial(
+    jax.jit, static_argnames=("bs", "dt", "n", "cmax", "self_adv")
+)
+def _advect_call(bs, d0s, dt, n, cmax, self_adv, u, v):
     nf = len(d0s)
     assert len(bs) == nf
     side = n + 2
     tm = _pick_tm(side)
     assert tm is not None
-    if tm != side:
-        tm = min(tm, _ADVECT_TM)
-    marg = _ceil8(cmax + 1)
-    if tm == side:
-        wd = side
+    # Strip height bounded by VMEM (blocked windows + accumulators + Mosaic
+    # stack all scale with tm x nf).
+    cap = _ADVECT_TM if nf == 1 else _ADVECT_TM // 2
+    for cand in (cap, 32, 16, 8):
+        if side % cand == 0 and cand <= side:
+            tm = cand
+            break
     else:
-        wd = tm + 2 * marg
-        assert wd <= side
+        raise ValueError(f"advect: no strip height divides side={side}")
+    assert cmax + 1 <= tm
     lpad = _LANE  # lane offset so +-cmax column slices stay in bounds
     wide = side + 2 * _LANE
-    # Scratch height: window lands at [marg, marg+wd); the value load reads
-    # [base, base+hv) with base <= 2*marg.
-    hv = _ceil8(marg + tm + cmax + 1)
-    dh = 2 * marg + hv
+    nstrips = side // tm
     kernel = functools.partial(
-        _advect_kernel, nf=nf, bs=bs, dt=dt, n=n, tm=tm, wd=wd, side=side,
-        cmax=cmax, lpad=lpad,
+        _advect_kernel, nf=nf, bs=bs, dt=dt, n=n, tm=tm, side=side,
+        cmax=cmax, lpad=lpad, self_adv=self_adv,
     )
-    blk = pl.BlockSpec((tm, side), lambda gi: (gi, 0), memory_space=pltpu.VMEM)
+
+    def blk(shift):
+        if shift == 0:
+            return pl.BlockSpec((tm, side), lambda gi: (gi, 0),
+                                memory_space=pltpu.VMEM)
+        if shift < 0:
+            return pl.BlockSpec(
+                (tm, side), lambda gi: (jnp.maximum(gi - 1, 0), 0),
+                memory_space=pltpu.VMEM,
+            )
+        return pl.BlockSpec(
+            (tm, side),
+            lambda gi: (jnp.minimum(gi + 1, nstrips - 1), 0),
+            memory_space=pltpu.VMEM,
+        )
+
+    in_specs = []
+    operands = []
+    for d0 in d0s:
+        in_specs += [blk(-1), blk(0), blk(+1)]
+        operands += [d0, d0, d0]
+    if not self_adv:
+        in_specs += [blk(0), blk(0)]
+        operands += [u, v]
     dtype = d0s[0].dtype
     out = pl.pallas_call(
         kernel,
-        grid=(side // tm,),
+        grid=(nstrips,),
         out_shape=tuple(
             jax.ShapeDtypeStruct((side, side), dtype) for _ in range(nf)
         ),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * nf + [blk, blk],
-        out_specs=tuple(blk for _ in range(nf)),
-        scratch_shapes=[pltpu.VMEM((dh, wide), dtype) for _ in range(nf)]
-        + [
-            pltpu.VMEM((hv, wide), dtype),
-            pltpu.VMEM((_ceil8(tm + 1), wide), dtype),
+        in_specs=in_specs,
+        out_specs=tuple(blk(0) for _ in range(nf)),
+        scratch_shapes=[
+            pltpu.VMEM((3 * tm, wide), dtype),
             pltpu.VMEM((tm, side), dtype),
             pltpu.VMEM((tm, side), dtype),
             pltpu.VMEM((tm, side), dtype),
             pltpu.VMEM((tm, side), dtype),
-            pltpu.SemaphoreType.DMA((nf,)),
         ],
         interpret=INTERPRET,
-    )(*d0s, u, v)
+    )(*operands)
     return out if isinstance(out, tuple) else (out,)
 
 
@@ -472,114 +487,104 @@ def _advect_call(bs, d0s, dt, n, cmax, u, v):
 # ---------------------------------------------------------------------------
 
 
-_M1 = 8  # aligned margin for 1-halo kernels
+def _shifted_rows(m1, c0, p1):
+    """Row-shifted views of the center block using neighbor blocks:
+    up[r] = global row r0+r-1, down[r] = global row r0+r+1.  Wall strips get
+    duplicated (clamped) neighbor rows — garbage that the BC epilogue
+    overwrites."""
+    cc = c0[:]
+    up = jnp.concatenate([m1[-1:, :], cc[:-1, :]], axis=0)
+    down = jnp.concatenate([cc[1:, :], p1[:1, :]], axis=0)
+    return cc, up, down
 
 
-def _load_center_updown(win, r0, start, tm: int, side: int):
-    """Aligned value-load + static slices: rows r0-1, r0, r0+1 .. of the
-    window (which was DMA'd to land at row margin _M1)."""
-    base = pl.multiple_of(r0 - start, 8)
-    hv = _ceil8(_M1 + tm + 2)
-    V = win[pl.ds(base, hv), :]
-    center = V[_M1 : _M1 + tm, :]
-    up = V[_M1 - 1 : _M1 - 1 + tm, :]
-    down = V[_M1 + 1 : _M1 + 1 + tm, :]
-    return center, up, down
+def _lane_diff(x, side: int):
+    """x[:, c+1] - x[:, c-1] with garbage edge lanes (BC-overwritten)."""
+    return jnp.concatenate(
+        [x[:, 1:2], x[:, 2:] - x[:, :-2], x[:, side - 2 : side - 1]], axis=1
+    )
 
 
 def _divergence_kernel(
-    u_hbm, v_hbm, out_ref, uwin, vwin, sems,
-    *, n: int, tm: int, wd: int, side: int,
+    u_ref, v_m1, v_c, v_p1, out_ref, *, n: int, tm: int, side: int
 ):
     gi = pl.program_id(0)
     r0 = gi * tm
-    start = pl.multiple_of(jnp.clip(r0 - _M1, 0, side - wd), 8)
-    cu = pltpu.make_async_copy(
-        u_hbm.at[pl.ds(start, wd), :], uwin.at[_M1 : _M1 + wd, :], sems.at[0]
-    )
-    cv = pltpu.make_async_copy(
-        v_hbm.at[pl.ds(start, wd), :], vwin.at[_M1 : _M1 + wd, :], sems.at[1]
-    )
-    cu.start()
-    cv.start()
-    cu.wait()
-    cv.wait()
-
     dt = out_ref.dtype
     h = jnp.asarray(1.0, dt) / n
-    u_c, _, _ = _load_center_updown(uwin, r0, start, tm, side)
-    _, v_up, v_dn = _load_center_updown(vwin, r0, start, tm, side)
-    du = jnp.concatenate(
-        [u_c[:, 1:2], u_c[:, 2:] - u_c[:, :-2], u_c[:, side - 2 : side - 1]],
-        axis=1,
-    )  # edge lanes are garbage; overwritten by the BC epilogue
+    _, v_up, v_dn = _shifted_rows(v_m1, v_c, v_p1)
+    du = _lane_diff(u_ref[:], side)
     out_ref[:] = (jnp.asarray(-0.5, dt) * h) * (du + (v_dn - v_up))
     _apply_bnd_window(out_ref, 0, r0, tm, side)
 
 
 def _gradient_kernel(
-    p_hbm, u_ref, v_ref, uout, vout, pwin, sems,
-    *, n: int, tm: int, wd: int, side: int,
+    p_m1, p_c, p_p1, u_ref, v_ref, uout, vout, *, n: int, tm: int, side: int
 ):
     gi = pl.program_id(0)
     r0 = gi * tm
-    start = pl.multiple_of(jnp.clip(r0 - _M1, 0, side - wd), 8)
-    cp = pltpu.make_async_copy(
-        p_hbm.at[pl.ds(start, wd), :], pwin.at[_M1 : _M1 + wd, :], sems.at[0]
-    )
-    cp.start()
-    cp.wait()
-
-    dt = pwin.dtype
+    dt = uout.dtype
     h = jnp.asarray(1.0, dt) / n
     half = jnp.asarray(0.5, dt)
-    p_c, p_up, p_dn = _load_center_updown(pwin, r0, start, tm, side)
-    dp = jnp.concatenate(
-        [p_c[:, 1:2], p_c[:, 2:] - p_c[:, :-2], p_c[:, side - 2 : side - 1]],
-        axis=1,
-    )
+    pc, p_up, p_dn = _shifted_rows(p_m1, p_c, p_p1)
+    dp = _lane_diff(pc, side)
     uout[:] = u_ref[:] - (half * dp) / h
     vout[:] = v_ref[:] - (half * (p_dn - p_up)) / h
     _apply_bnd_window(uout, 1, r0, tm, side)
     _apply_bnd_window(vout, 2, r0, tm, side)
 
 
-def _win_dims(side: int, tm: int) -> tuple[int, int]:
-    """(wd, dh) for 1-halo kernels: DMA window height and scratch height."""
-    wd = side if tm == side else tm + 2 * _M1
-    dh = 2 * _M1 + _ceil8(_M1 + tm + 2)
-    return wd, max(dh, _M1 + wd)
+def _halo1_specs(side: int):
+    """(tm, specs3) for a 1-halo stencil over row strips: three shifted
+    blocked inputs per halo'd operand (auto-pipelined; no manual DMA)."""
+    tm = _pick_tm(side)
+    if tm == side:
+        for cand in (128, 64, 32, 16, 8):
+            if side % cand == 0:
+                tm = cand
+                break
+        else:
+            raise ValueError(f"no strip height divides side={side}")
+    nstrips = side // tm
+
+    def blk(shift):
+        if shift == 0:
+            return pl.BlockSpec((tm, side), lambda gi: (gi, 0),
+                                memory_space=pltpu.VMEM)
+        if shift < 0:
+            return pl.BlockSpec(
+                (tm, side), lambda gi: (jnp.maximum(gi - 1, 0), 0),
+                memory_space=pltpu.VMEM,
+            )
+        return pl.BlockSpec(
+            (tm, side),
+            lambda gi: (jnp.minimum(gi + 1, nstrips - 1), 0),
+            memory_space=pltpu.VMEM,
+        )
+
+    return tm, blk
 
 
 @functools.partial(jax.jit, static_argnames=("n",))
 def divergence_p(u, v, n):
     side = n + 2
-    tm = _pick_tm(side)
-    wd, dh = _win_dims(side, tm)
-    kernel = functools.partial(_divergence_kernel, n=n, tm=tm, wd=wd, side=side)
+    tm, blk = _halo1_specs(side)
+    kernel = functools.partial(_divergence_kernel, n=n, tm=tm, side=side)
     return pl.pallas_call(
         kernel,
         grid=(side // tm,),
         out_shape=jax.ShapeDtypeStruct((side, side), u.dtype),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 2,
-        out_specs=pl.BlockSpec((tm, side), lambda gi: (gi, 0),
-                               memory_space=pltpu.VMEM),
-        scratch_shapes=[
-            pltpu.VMEM((dh, side), u.dtype),
-            pltpu.VMEM((dh, side), u.dtype),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
+        in_specs=[blk(0), blk(-1), blk(0), blk(+1)],
+        out_specs=blk(0),
         interpret=INTERPRET,
-    )(u, v)
+    )(u, v, v, v)
 
 
 @functools.partial(jax.jit, static_argnames=("n",))
 def gradient_p(u, v, p, n):
     side = n + 2
-    tm = _pick_tm(side)
-    wd, dh = _win_dims(side, tm)
-    kernel = functools.partial(_gradient_kernel, n=n, tm=tm, wd=wd, side=side)
-    blk = pl.BlockSpec((tm, side), lambda gi: (gi, 0), memory_space=pltpu.VMEM)
+    tm, blk = _halo1_specs(side)
+    kernel = functools.partial(_gradient_kernel, n=n, tm=tm, side=side)
     return pl.pallas_call(
         kernel,
         grid=(side // tm,),
@@ -587,14 +592,10 @@ def gradient_p(u, v, p, n):
             jax.ShapeDtypeStruct((side, side), u.dtype),
             jax.ShapeDtypeStruct((side, side), u.dtype),
         ),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY), blk, blk],
-        out_specs=(blk, blk),
-        scratch_shapes=[
-            pltpu.VMEM((dh, side), u.dtype),
-            pltpu.SemaphoreType.DMA((1,)),
-        ],
+        in_specs=[blk(-1), blk(0), blk(+1), blk(0), blk(0)],
+        out_specs=(blk(0), blk(0)),
         interpret=INTERPRET,
-    )(p, u, v)
+    )(p, p, p, u, v)
 
 
 # ---------------------------------------------------------------------------
@@ -617,7 +618,10 @@ def make_opset(cfg: SimConfig) -> OpSet:
         return advect_shift(b, d0, u, v, dt, n, cmax=cmax)
 
     def advect_pair(b1, b2, d1, d2, u, v, dt, n):
-        return advect_shift_fused((b1, b2), (d1, d2), u, v, dt, n, cmax=cmax)
+        self_adv = d1 is u and d2 is v
+        return advect_shift_fused(
+            (b1, b2), (d1, d2), u, v, dt, n, cmax=cmax, self_advect=self_adv
+        )
 
     def divergence(u, v, n):
         return divergence_p(u, v, n)
