@@ -1,0 +1,79 @@
+"""Batched simulation — vmap datagen (BASELINE config 4).
+
+The reference runs exactly one simulation per process (``main`` owns the six
+grids, ``FluidSequential.c:273-334``).  On TPU, ``jax.vmap`` over the step
+turns the same solver into a data generator: thousands of independent small
+sims per chip, each with its own randomized sources, in one compiled program.
+
+Sharding: batched state can additionally be distributed over a mesh axis
+("batch" data parallelism) via ``jax.sharding``; spatial sharding stays the
+domain of ``parallel.sharded`` (the two compose for large-grid datagen).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+from ..core.config import SimConfig
+from ..core.state import FluidState, Sources, reference_init
+from .stable_fluids_2d import step
+
+__all__ = ["batched_init", "make_batched_step_fn", "generate_trajectories"]
+
+
+def batched_init(key: jax.Array, cfg: SimConfig, batch: int):
+    """``batch`` independent reference-style initial conditions, each from
+    its own PRNG fold (randomized center-square density + uniform velocity
+    sources, mirroring ``initializeParameters``, ``FluidSequential.c:244-271``)."""
+    keys = jax.random.split(key, batch)
+    return jax.vmap(lambda k: reference_init(k, cfg))(keys)
+
+
+def make_batched_step_fn(cfg: SimConfig) -> Callable:
+    """vmapped + jitted step over a leading batch axis."""
+    return jax.jit(jax.vmap(functools.partial(step, cfg)))
+
+
+def generate_trajectories(
+    key: jax.Array,
+    cfg: SimConfig,
+    batch: int,
+    num_steps: int,
+    *,
+    snapshot_every: int = 0,
+):
+    """Run ``batch`` sims for ``num_steps`` (sources on step 1 only, like the
+    reference harness).  Returns the final batched state; with
+    ``snapshot_every=k`` also returns stacked density snapshots every k steps
+    (the datagen payload), shape ``(num_snaps, batch, side, side)``.
+    """
+    state, sources = batched_init(key, cfg, batch)
+    zeros = jax.tree.map(jnp.zeros_like, sources)  # None leaves are skipped
+    vstep = jax.vmap(functools.partial(step, cfg))
+
+    def body(carry, k):
+        st = carry
+        src = jax.tree.map(
+            lambda s, z: jnp.where(k == 0, s, z), sources, zeros
+        )
+        st = vstep(st, src)
+        if snapshot_every:
+            snap = jax.lax.cond(
+                (k + 1) % snapshot_every == 0,
+                lambda: st.dens,
+                lambda: jnp.zeros_like(st.dens),
+            )
+            return st, snap
+        return st, None
+
+    def run(state):
+        return jax.lax.scan(body, state, jnp.arange(num_steps))
+
+    final, snaps = jax.jit(run)(state)
+    if snapshot_every:
+        snaps = snaps[snapshot_every - 1 :: snapshot_every]
+        return final, snaps
+    return final, None

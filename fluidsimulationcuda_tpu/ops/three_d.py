@@ -1,0 +1,183 @@
+"""3-D stable fluids operators (jnp backend).
+
+The reference is strictly 2-D; this is the natural Stam generalization
+(BASELINE config 5: smoke volumes), specified here since the reference has
+nothing to cite:
+
+- grid ``(n+2)³``, ghost cells on all six faces, index order [z, y, x];
+- boundary modes b: 0 copy, 1 flip at x walls (u), 2 flip at y walls (v),
+  3 flip at z walls (w);
+- ghost layer is derived from the interior: faces mirror the adjacent
+  interior cell (sign per mode), edges average their 2 adjacent faces,
+  corners average their 3 — the 3-D analogue of ``set_bnd``
+  (``FluidSequential.c:62-75``);
+- diffusion: ``alpha = dt*k*n²``, ``beta = 1 + 6*alpha`` (6 neighbors);
+  pressure: alpha=1, beta=6;
+- advection: backtrace clamped to ``[0.5, n+0.5]`` per axis, trilinear
+  gather.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+__all__ = [
+    "embed_interior3",
+    "set_bnd3",
+    "diffuse3",
+    "advect3",
+    "divergence3",
+    "pressure_solve3",
+    "apply_pressure_gradient3",
+    "project3",
+]
+
+_AXIS_OF_MODE = {1: 2, 2: 1, 3: 0}  # boundary mode -> flipped axis (z,y,x)
+
+
+def embed_interior3(b: int, interior: jnp.ndarray) -> jnp.ndarray:
+    """(n,n,n) interior -> (n+2,n+2,n+2) with derived ghost layer."""
+    dt = interior.dtype
+    x = jnp.pad(interior, 1)
+    # Faces: mirror adjacent interior plane, negated on the wall-normal
+    # component's axis.
+    for axis in range(3):
+        sign = jnp.asarray(
+            -1.0 if _AXIS_OF_MODE.get(b) == axis else 1.0, dt
+        )
+        idx_lo = [slice(None)] * 3
+        idx_lo[axis] = 0
+        src_lo = [slice(None)] * 3
+        src_lo[axis] = 1
+        x = x.at[tuple(idx_lo)].set(sign * x[tuple(src_lo)])
+        idx_hi = [slice(None)] * 3
+        idx_hi[axis] = -1
+        src_hi = [slice(None)] * 3
+        src_hi[axis] = -2
+        x = x.at[tuple(idx_hi)].set(sign * x[tuple(src_hi)])
+    # Edges (two ghost coords) and corners (three): average of the adjacent
+    # already-set face values.  Set edges from faces, then corners from
+    # edges' faces — equivalent to averaging the 2 / 3 adjacent face cells.
+    half = jnp.asarray(0.5, dt)
+    third = jnp.asarray(1.0 / 3.0, dt)
+    n2 = x.shape[0]
+    for a1 in range(3):
+        for a2 in range(a1 + 1, 3):
+            for i1 in (0, n2 - 1):
+                for i2 in (0, n2 - 1):
+                    idx = [slice(1, -1)] * 3
+                    idx[a1], idx[a2] = i1, i2
+                    nb1 = list(idx)
+                    nb1[a1] = 1 if i1 == 0 else n2 - 2
+                    nb2 = list(idx)
+                    nb2[a2] = 1 if i2 == 0 else n2 - 2
+                    x = x.at[tuple(idx)].set(
+                        half * (x[tuple(nb1)] + x[tuple(nb2)])
+                    )
+    for iz in (0, n2 - 1):
+        for iy in (0, n2 - 1):
+            for ix in (0, n2 - 1):
+                nz = 1 if iz == 0 else n2 - 2
+                ny = 1 if iy == 0 else n2 - 2
+                nx = 1 if ix == 0 else n2 - 2
+                x = x.at[iz, iy, ix].set(
+                    third * (x[nz, iy, ix] + x[iz, ny, ix] + x[iz, iy, nx])
+                )
+    return x
+
+
+def set_bnd3(b: int, x: jnp.ndarray) -> jnp.ndarray:
+    return embed_interior3(b, x[1:-1, 1:-1, 1:-1])
+
+
+def diffuse3(b, x_init, x0, alpha, beta, iters):
+    dt = x0.dtype
+    a = jnp.asarray(alpha, dt)
+    bt = jnp.asarray(beta, dt)
+    rhs = x0[1:-1, 1:-1, 1:-1]
+
+    def body(_, x):
+        neigh = (
+            ((x[1:-1, 1:-1, :-2] + x[1:-1, 1:-1, 2:])
+             + (x[1:-1, :-2, 1:-1] + x[1:-1, 2:, 1:-1]))
+            + (x[:-2, 1:-1, 1:-1] + x[2:, 1:-1, 1:-1])
+        )
+        return embed_interior3(b, (rhs + a * neigh) / bt)
+
+    return jax.lax.fori_loop(0, iters, body, x_init)
+
+
+def advect3(b, d0, u, v, w, dt, n):
+    dtype = d0.dtype
+    dt0 = jnp.asarray(dt, dtype) * n
+    coords = jnp.arange(1, n + 1, dtype=dtype)
+    zz = coords[:, None, None]
+    yy = coords[None, :, None]
+    xx = coords[None, None, :]
+    x = xx - dt0 * u[1:-1, 1:-1, 1:-1]
+    y = yy - dt0 * v[1:-1, 1:-1, 1:-1]
+    z = zz - dt0 * w[1:-1, 1:-1, 1:-1]
+    lo = jnp.asarray(0.5, dtype)
+    hi = jnp.asarray(n + 0.5, dtype)
+    x, y, z = jnp.clip(x, lo, hi), jnp.clip(y, lo, hi), jnp.clip(z, lo, hi)
+    i0 = x.astype(jnp.int32)
+    j0 = y.astype(jnp.int32)
+    k0 = z.astype(jnp.int32)
+    fx = x - i0.astype(dtype)
+    fy = y - j0.astype(dtype)
+    fz = z - k0.astype(dtype)
+
+    side = n + 2
+    flat = d0.reshape(-1)
+    base = (k0 * side + j0) * side + i0
+
+    def g(dz, dy, dx):
+        return jnp.take(flat, base + (dz * side + dy) * side + dx)
+
+    one = jnp.asarray(1.0, dtype)
+    interior = (
+        (one - fz) * (
+            (one - fy) * ((one - fx) * g(0, 0, 0) + fx * g(0, 0, 1))
+            + fy * ((one - fx) * g(0, 1, 0) + fx * g(0, 1, 1))
+        )
+        + fz * (
+            (one - fy) * ((one - fx) * g(1, 0, 0) + fx * g(1, 0, 1))
+            + fy * ((one - fx) * g(1, 1, 0) + fx * g(1, 1, 1))
+        )
+    )
+    return embed_interior3(b, interior)
+
+
+def divergence3(u, v, w, n):
+    dt = u.dtype
+    h = jnp.asarray(1.0, dt) / n
+    d = (jnp.asarray(-0.5, dt) * h) * (
+        (u[1:-1, 1:-1, 2:] - u[1:-1, 1:-1, :-2])
+        + (v[1:-1, 2:, 1:-1] - v[1:-1, :-2, 1:-1])
+        + (w[2:, 1:-1, 1:-1] - w[:-2, 1:-1, 1:-1])
+    )
+    return embed_interior3(0, d)
+
+
+def pressure_solve3(div, iters):
+    return diffuse3(0, jnp.zeros_like(div), div, 1.0, 6.0, iters)
+
+
+def apply_pressure_gradient3(u, v, w, p, n):
+    dt = u.dtype
+    h = jnp.asarray(1.0, dt) / n
+    half = jnp.asarray(0.5, dt)
+    un = u[1:-1, 1:-1, 1:-1] - (half * (p[1:-1, 1:-1, 2:] - p[1:-1, 1:-1, :-2])) / h
+    vn = v[1:-1, 1:-1, 1:-1] - (half * (p[1:-1, 2:, 1:-1] - p[1:-1, :-2, 1:-1])) / h
+    wn = w[1:-1, 1:-1, 1:-1] - (half * (p[2:, 1:-1, 1:-1] - p[:-2, 1:-1, 1:-1])) / h
+    return (
+        embed_interior3(1, un),
+        embed_interior3(2, vn),
+        embed_interior3(3, wn),
+    )
+
+
+def project3(u, v, w, n, iters):
+    div = divergence3(u, v, w, n)
+    p = pressure_solve3(div, iters)
+    return apply_pressure_gradient3(u, v, w, p, n)

@@ -1,1 +1,12 @@
+from .cache import enable_compilation_cache
+from .checkpoint import load_checkpoint, save_checkpoint
+from .timing import PhaseReport, profile_phases, wallclock
 
+__all__ = [
+    "enable_compilation_cache",
+    "load_checkpoint",
+    "save_checkpoint",
+    "PhaseReport",
+    "profile_phases",
+    "wallclock",
+]

@@ -1,0 +1,100 @@
+"""Batched datagen, checkpointing, and the timing harness."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from fluidsimulationcuda_tpu import SimConfig, make_step_fn, reference_init
+from fluidsimulationcuda_tpu.models.batched import (
+    batched_init,
+    generate_trajectories,
+    make_batched_step_fn,
+)
+from fluidsimulationcuda_tpu.utils.checkpoint import (
+    load_checkpoint,
+    save_checkpoint,
+)
+
+
+def test_batched_matches_individual():
+    """vmapped step == per-sim step, element for element."""
+    cfg = SimConfig(n=14, jacobi_iters=4, backend="reference")
+    key = jax.random.key(0)
+    states, sources = batched_init(key, cfg, 3)
+    vstep = make_batched_step_fn(cfg)
+    out = vstep(states, sources)
+
+    step = make_step_fn(cfg)
+    for i in range(3):
+        st_i = jax.tree.map(lambda a: a[i], states)
+        src_i = jax.tree.map(lambda a: a[i], sources)
+        want = step(st_i, src_i)
+        np.testing.assert_allclose(
+            np.asarray(out.dens[i]), np.asarray(want.dens), rtol=1e-6, atol=1e-6
+        )
+        np.testing.assert_allclose(
+            np.asarray(out.u[i]), np.asarray(want.u), rtol=1e-6, atol=1e-6
+        )
+
+
+def test_batched_sims_are_independent():
+    """Different PRNG folds give different sims; no cross-talk."""
+    cfg = SimConfig(n=14, jacobi_iters=4, backend="reference")
+    states, sources = batched_init(jax.random.key(1), cfg, 2)
+    assert not np.allclose(
+        np.asarray(sources.dens[0]), np.asarray(sources.dens[1])
+    )
+
+
+def test_generate_trajectories_snapshots():
+    cfg = SimConfig(n=14, jacobi_iters=4, backend="reference")
+    final, snaps = generate_trajectories(
+        jax.random.key(2), cfg, batch=2, num_steps=6, snapshot_every=3
+    )
+    assert snaps.shape == (2, 2, 16, 16)  # 2 snapshots x 2 sims
+    np.testing.assert_allclose(
+        np.asarray(snaps[-1]), np.asarray(final.dens), rtol=1e-6, atol=1e-6
+    )
+    assert np.isfinite(np.asarray(snaps)).all()
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    cfg = SimConfig(n=14, jacobi_iters=4, backend="reference")
+    state, sources = reference_init(jax.random.key(3), cfg)
+    state = make_step_fn(cfg)(state, sources)
+    p = str(tmp_path / "ck.npz")
+    save_checkpoint(p, state, cfg, step=7)
+    state2, cfg2, step2 = load_checkpoint(p)
+    assert step2 == 7
+    assert cfg2 == cfg
+    for name in ("dens", "u", "v"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(state, name)), np.asarray(getattr(state2, name))
+        )
+    assert state2.w is None
+
+
+def test_checkpoint_resume_continues_identically(tmp_path):
+    """save -> load -> step == step without the round trip (bit-exact)."""
+    cfg = SimConfig(n=14, jacobi_iters=4, backend="reference")
+    state, sources = reference_init(jax.random.key(4), cfg)
+    step = make_step_fn(cfg)
+    s1 = step(state, sources)
+    p = str(tmp_path / "ck.npz")
+    save_checkpoint(p, s1, cfg)
+    s1b, cfg2, _ = load_checkpoint(p)
+    from fluidsimulationcuda_tpu import zero_sources
+
+    z = zero_sources(cfg)
+    a = step(s1, z)
+    b = make_step_fn(cfg2)(s1b, z)
+    np.testing.assert_array_equal(np.asarray(a.dens), np.asarray(b.dens))
+
+
+def test_wallclock_smoke():
+    from fluidsimulationcuda_tpu.utils.timing import wallclock
+
+    x = jnp.ones((64, 64))
+    sec = wallclock(lambda a, b: a + b, x, x, reps=1, chain=10)
+    assert sec > 0
