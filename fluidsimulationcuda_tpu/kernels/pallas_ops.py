@@ -54,18 +54,23 @@ def _signs(b: int) -> tuple[float, float]:
 
 def _pick_tm(side: int) -> int | None:
     """Output strip height.  Whole-grid single strip when it fits VMEM
-    (3 buffers x side^2 x 4B <= ~10MB), else 128-row strips."""
+    (3 buffers x side^2 x 4B <= ~10MB); otherwise the largest strip whose
+    working set (3 sweep buffers with ~margin-row windows + pipelined out
+    blocks + Mosaic stack) stays within ~11MB of the 16MB VMEM."""
     if 3 * side * side * 4 <= 10 * 2**20:
         return side
-    for tm in (128, 256, 64):  # 128 first: best VMEM headroom with pipelining
-        if side % tm == 0:
+    budget_rows = (11 * 2**20) // (side * 4)
+    for tm in (256, 128, 64, 32):
+        if side % tm == 0 and 5 * tm + 160 <= budget_rows:
             return tm
     return None
 
 
 def supports(cfg: SimConfig) -> bool:
+    # side >= 128: full lane tiles (smaller grids trip Mosaic's (1,128)
+    # tiling on column slices, and XLA handles them fine anyway).
     side = cfg.n + 2
-    return cfg.ndim == 2 and side >= 8 and _pick_tm(side) is not None
+    return cfg.ndim == 2 and side >= 128 and _pick_tm(side) is not None
 
 
 # ---------------------------------------------------------------------------
@@ -421,14 +426,17 @@ def _advect_call(bs, d0s, dt, n, cmax, self_adv, u, v):
     tm = _pick_tm(side)
     assert tm is not None
     # Strip height bounded by VMEM (blocked windows + accumulators + Mosaic
-    # stack all scale with tm x nf).
+    # stack all scale with tm x nf x side); ~19/26 full-width rows of live
+    # data per output row, empirically calibrated against the 16MB limit.
+    rows_per_tm = 19 if nf == 1 else 26
     cap = _ADVECT_TM if nf == 1 else _ADVECT_TM // 2
+    budget = 11 * 2**20
     for cand in (cap, 32, 16, 8):
-        if side % cand == 0 and cand <= side:
+        if side % cand == 0 and rows_per_tm * cand * side * 4 <= budget:
             tm = cand
             break
     else:
-        raise ValueError(f"advect: no strip height divides side={side}")
+        raise ValueError(f"advect: no viable strip height for side={side}")
     assert cmax + 1 <= tm
     lpad = _LANE  # lane offset so +-cmax column slices stay in bounds
     wide = side + 2 * _LANE
