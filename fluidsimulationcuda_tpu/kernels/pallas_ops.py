@@ -612,7 +612,9 @@ def gradient_p(u, v, p, n):
 
 
 def make_opset(cfg: SimConfig) -> OpSet:
-    if not supports(cfg):
+    # Interpreter mode (tests) has no Mosaic tiling limits; only gate the
+    # compiled path.
+    if not (INTERPRET or supports(cfg)):
         raise ValueError(
             f"pallas backend does not support side={cfg.n + 2} (ndim={cfg.ndim})"
         )
