@@ -78,7 +78,7 @@ def main() -> None:
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--steps", type=int, default=100)
     ap.add_argument("--backend", default="auto")
-    ap.add_argument("--cmax", type=int, default=4,
+    ap.add_argument("--cmax", type=int, default=2,
                     help="pallas advection gather window (see SimConfig)")
     ap.add_argument("--sweep", action="store_true")
     args = ap.parse_args()
@@ -108,7 +108,7 @@ def main() -> None:
     print(f"{sec * 1e3:.3f} ms/step at {cfg.n + 2}², {args.iters} Jacobi iters",
           file=sys.stderr)
     print(json.dumps({
-        "metric": f"full-step throughput @ {cfg.n + 2}^2, {args.iters} Jacobi iters",
+        "metric": f"full-step throughput @ {cfg.n + 2}^2, {args.iters} Jacobi iters, advect window +-{args.cmax}",
         "value": round(mcells, 1),
         "unit": "Mcell-updates/s",
         "vs_baseline": round(mcells / BASELINE_MCELLS_PER_S, 2),

@@ -17,7 +17,7 @@ def ceil8(x):
 
 
 def make_jacobi(side, tm, sweeps, *, bc=True, unroll=False, recip=False,
-                edge_copy=True, aligned=False):
+                edge_copy=True, aligned=False, vmem_mb=16):
     margin = ceil8(sweeps + 1)
     wr = side if tm == side else tm + 2 * margin
     alpha, beta = 0.0327, 1.1308
@@ -83,6 +83,7 @@ def make_jacobi(side, tm, sweeps, *, bc=True, unroll=False, recip=False,
                                    memory_space=pltpu.VMEM),
             scratch_shapes=[pltpu.VMEM((wr, side), jnp.float32)] * 3
             + [pltpu.SemaphoreType.DMA((2,))],
+            compiler_params=pltpu.CompilerParams(vmem_limit_bytes=vmem_mb * 2**20),
         )(x, rhs)
 
     return run
@@ -109,7 +110,8 @@ if __name__ == "__main__":
     x = jax.random.uniform(jax.random.key(0), (side, side), jnp.float32)
     r = jax.random.uniform(jax.random.key(1), (side, side), jnp.float32)
 
-    timeit("tm=128 base slice-offset", make_jacobi(side, 128, 20), x, r)
-    timeit("tm=128 ALIGNED rolls", make_jacobi(side, 128, 20, aligned=True, edge_copy=False), x, r)
-    timeit("tm=128 ALIGNED rolls recip", make_jacobi(side, 128, 20, aligned=True, edge_copy=False, recip=True), x, r)
-    timeit("tm=128 ALIGNED unroll", make_jacobi(side, 128, 20, aligned=True, edge_copy=False, unroll=True), x, r)
+    timeit("tm=128 aligned (16MB)", make_jacobi(side, 128, 20, aligned=True, edge_copy=False), x, r)
+    timeit("tm=256 aligned 64MB", make_jacobi(side, 256, 20, aligned=True, edge_copy=False, vmem_mb=64), x, r)
+    timeit("tm=512 aligned 64MB", make_jacobi(side, 512, 20, aligned=True, edge_copy=False, vmem_mb=64), x, r)
+    timeit("tm=1024 aligned 100MB", make_jacobi(side, 1024, 20, aligned=True, edge_copy=False, vmem_mb=100), x, r)
+    timeit("tm=2048 aligned 100MB", make_jacobi(side, 2048, 20, aligned=True, edge_copy=False, vmem_mb=100), x, r)

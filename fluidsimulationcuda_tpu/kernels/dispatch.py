@@ -35,10 +35,17 @@ class OpSet(NamedTuple):
     pressure_solve: Callable
     apply_pressure_gradient: Callable
     advect_pair: Callable
+    project: Callable
 
 
 def _advect_pair_ref(b1, b2, d1, d2, u, v, dt, n):
     return _advect_ref(b1, d1, u, v, dt, n), _advect_ref(b2, d2, u, v, dt, n)
+
+
+def _project_ref_op(u, v, n, iters):
+    div = _divergence_ref(u, v, n)
+    p = _pressure_ref(div, iters)
+    return _apg_ref(u, v, p, n)
 
 
 _REFERENCE_OPS = OpSet(
@@ -48,6 +55,7 @@ _REFERENCE_OPS = OpSet(
     pressure_solve=_pressure_ref,
     apply_pressure_gradient=_apg_ref,
     advect_pair=_advect_pair_ref,
+    project=_project_ref_op,
 )
 
 

@@ -45,7 +45,18 @@ from .dispatch import OpSet
 INTERPRET = False
 
 _LANE = 128
-_ADVECT_TM = 64  # advection strip height (tunable; VMEM-bounded)
+_ADVECT_TM = 64  # advection strip height cap (VMEM-bounded; 64 pipelines best)
+# This chip exposes far more VMEM than Mosaic's 16MB default scoped limit
+# (96MB scratch verified working); raise the limit and size windows against
+# a conservative budget.
+_VMEM_LIMIT = None  # None -> Mosaic default (16MB); raising it degrades scheduling
+_VMEM_BUDGET = 11 * 2**20
+
+
+def _cparams():
+    if _VMEM_LIMIT is None:
+        return None
+    return pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT)
 
 
 def _signs(b: int) -> tuple[float, float]:
@@ -57,10 +68,12 @@ def _pick_tm(side: int) -> int | None:
     (3 buffers x side^2 x 4B <= ~10MB); otherwise the largest strip whose
     working set (3 sweep buffers with ~margin-row windows + pipelined out
     blocks + Mosaic stack) stays within ~11MB of the 16MB VMEM."""
+    # Whole-grid single strip only for small grids; at large sizes strips
+    # win by pipelining DMA against compute.
     if 3 * side * side * 4 <= 10 * 2**20:
         return side
-    budget_rows = (11 * 2**20) // (side * 4)
-    for tm in (256, 128, 64, 32):
+    budget_rows = _VMEM_BUDGET // (side * 4)
+    for tm in (128, 256, 512, 64, 32):  # 128 pipelines best
         if side % tm == 0 and 5 * tm + 160 <= budget_rows:
             return tm
     return None
@@ -273,7 +286,137 @@ def _fused_jacobi_call(b, x, x0, alpha, beta, sweeps, tm, side, zero_init):
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=INTERPRET,
+        compiler_params=None if INTERPRET else _cparams(),
     )(x, x0)
+
+
+# ---------------------------------------------------------------------------
+# Fused projection kernel: divergence -> pressure Poisson -> gradient
+# ---------------------------------------------------------------------------
+
+
+def _project_kernel(
+    u_hbm, v_hbm, uout, vout, ubuf, vbuf, rhs_buf, p_a, p_b, sems,
+    *, n: int, iters: int, tm: int, wr: int, side: int, margin: int,
+):
+    """Whole projection (``FluidSequential.c:213-226``) in one kernel per
+    strip: divergence computed in-window, ``iters`` pressure sweeps in VMEM,
+    gradient subtraction as the epilogue.  Replaces three kernels and their
+    HBM round-trips (div write/read, p write/read).
+
+    Window-edge rows of the divergence are wrap-garbage; like the Jacobi
+    sweep staleness, garbage propagates 1 row/sweep from the two edge rows,
+    which the iters+3 margin covers (at walls the edge rows are the ghost
+    ring, refreshed by the in-sweep BC — reference ``set_bnd(0, ...)``,
+    ``FluidSequential.c:156-157``).
+    """
+    gi = pl.program_id(0)
+    r0 = gi * tm
+    start = pl.multiple_of(jnp.clip(r0 - margin, 0, side - wr), 8)
+
+    cu = pltpu.make_async_copy(u_hbm.at[pl.ds(start, wr), :], ubuf, sems.at[0])
+    cv = pltpu.make_async_copy(v_hbm.at[pl.ds(start, wr), :], vbuf, sems.at[1])
+    cu.start()
+    cv.start()
+    cu.wait()
+    cv.wait()
+
+    dt = ubuf.dtype
+    h = jnp.asarray(1.0, dt) / n
+    half = jnp.asarray(0.5, dt)
+
+    # Divergence on the whole window via static rolls (wrap garbage at the
+    # two window edge rows only — u/v interior rows are real HBM data).
+    uu = ubuf[:]
+    vv = vbuf[:]
+    du = pltpu.roll(uu, side - 1, 1) - pltpu.roll(uu, 1, 1)
+    dv = pltpu.roll(vv, wr - 1, 0) - pltpu.roll(vv, 1, 0)
+    rhs_buf[:] = (jnp.asarray(-0.5, dt) * h) * (du + dv)
+    _apply_bnd_window(rhs_buf, 0, start, wr, side, corners=False)
+
+    # Pressure Poisson: alpha=1, beta=4, zero initial guess
+    # (FluidSequential.c:153,218-220).
+    p_a[:] = jnp.zeros((wr, side), dt)
+    quarter = jnp.asarray(0.25, dt)
+
+    def sweep(src, dst):
+        sp = src[:]
+        neigh = (
+            (pltpu.roll(sp, 1, 1) + pltpu.roll(sp, side - 1, 1))
+            + pltpu.roll(sp, 1, 0)
+        ) + pltpu.roll(sp, wr - 1, 0)
+        dst[:] = (rhs_buf[:] + neigh) * quarter
+        _apply_bnd_window(dst, 0, start, wr, side, corners=False)
+
+    def double_sweep(_, carry):
+        sweep(p_a, p_b)
+        sweep(p_b, p_a)
+        return carry
+
+    jax.lax.fori_loop(0, iters // 2, double_sweep, 0)
+    if iters % 2:
+        sweep(p_a, p_b)
+        p_a[:] = p_b[:]
+
+    # Gradient subtraction (lastProject, FluidSequential.c:161-173) on the
+    # output strip.  Aligned ref reads (no dynamic_slice on values in
+    # Mosaic); row-shifted views staged through p_b.
+    off = pl.multiple_of(r0 - start, 8)
+    p_c = p_a[pl.ds(off, tm), :]
+    p_b[:] = pltpu.roll(p_a[:], 1, 0)       # p_b[r] = p[r-1] (up neighbor)
+    p_up = p_b[pl.ds(off, tm), :]
+    p_b[:] = pltpu.roll(p_a[:], wr - 1, 0)  # p_b[r] = p[r+1] (down neighbor)
+    p_dn = p_b[pl.ds(off, tm), :]
+    dp = pltpu.roll(p_c, side - 1, 1) - pltpu.roll(p_c, 1, 1)
+    u_c = ubuf[pl.ds(off, tm), :]
+    v_c = vbuf[pl.ds(off, tm), :]
+    uout[:] = u_c - (half * dp) / h
+    vout[:] = v_c - (half * (p_dn - p_up)) / h
+    _apply_bnd_window(uout, 1, r0, tm, side)
+    _apply_bnd_window(vout, 2, r0, tm, side)
+
+
+def fused_project(u, v, n: int, iters: int):
+    """Projection (div + pressure solve + gradient) as one Pallas kernel."""
+    return _fused_project_call(u, v, n, iters)
+
+
+@functools.partial(jax.jit, static_argnames=("n", "iters"))
+def _fused_project_call(u, v, n, iters):
+    side = n + 2
+    tm = _pick_tm(side)
+    assert tm is not None
+    if tm == side:
+        margin = 0
+        wr = side
+    else:
+        # 5 window buffers instead of 3: shrink the strip if needed.
+        while 5 * (tm + 2 * _ceil8(iters + 3)) * side * 4 > _VMEM_BUDGET and tm > 32:
+            tm //= 2
+        margin = _ceil8(iters + 3)
+        wr = tm + 2 * margin
+        if wr > side:
+            # Small grid relative to iters: whole grid in one strip.
+            tm, wr, margin = side, side, 0
+    kernel = functools.partial(
+        _project_kernel, n=n, iters=iters, tm=tm, wr=wr, side=side,
+        margin=margin,
+    )
+    blk = pl.BlockSpec((tm, side), lambda gi: (gi, 0), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=(side // tm,),
+        out_shape=(
+            jax.ShapeDtypeStruct((side, side), u.dtype),
+            jax.ShapeDtypeStruct((side, side), u.dtype),
+        ),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 2,
+        out_specs=(blk, blk),
+        scratch_shapes=[pltpu.VMEM((wr, side), u.dtype) for _ in range(5)]
+        + [pltpu.SemaphoreType.DMA((2,))],
+        interpret=INTERPRET,
+        compiler_params=None if INTERPRET else _cparams(),
+    )(u, v)
 
 
 # ---------------------------------------------------------------------------
@@ -430,8 +573,8 @@ def _advect_call(bs, d0s, dt, n, cmax, self_adv, u, v):
     # data per output row, empirically calibrated against the 16MB limit.
     rows_per_tm = 19 if nf == 1 else 26
     cap = _ADVECT_TM if nf == 1 else _ADVECT_TM // 2
-    budget = 11 * 2**20
-    for cand in (cap, 32, 16, 8):
+    budget = _VMEM_BUDGET
+    for cand in (cap, 128, 64, 32, 16, 8):
         if side % cand == 0 and rows_per_tm * cand * side * 4 <= budget:
             tm = cand
             break
@@ -486,6 +629,7 @@ def _advect_call(bs, d0s, dt, n, cmax, self_adv, u, v):
             pltpu.VMEM((tm, side), dtype),
         ],
         interpret=INTERPRET,
+        compiler_params=None if INTERPRET else _cparams(),
     )(*operands)
     return out if isinstance(out, tuple) else (out,)
 
@@ -585,6 +729,7 @@ def divergence_p(u, v, n):
         in_specs=[blk(0), blk(-1), blk(0), blk(+1)],
         out_specs=blk(0),
         interpret=INTERPRET,
+        compiler_params=None if INTERPRET else _cparams(),
     )(u, v, v, v)
 
 
@@ -603,6 +748,7 @@ def gradient_p(u, v, p, n):
         in_specs=[blk(-1), blk(0), blk(+1), blk(0), blk(0)],
         out_specs=(blk(0), blk(0)),
         interpret=INTERPRET,
+        compiler_params=None if INTERPRET else _cparams(),
     )(p, p, p, u, v)
 
 
@@ -644,6 +790,9 @@ def make_opset(cfg: SimConfig) -> OpSet:
     def apply_pressure_gradient(u, v, p, n):
         return gradient_p(u, v, p, n)
 
+    def project(u, v, n, iters):
+        return fused_project(u, v, n, iters)
+
     return OpSet(
         diffuse=diffuse,
         advect=advect,
@@ -651,4 +800,5 @@ def make_opset(cfg: SimConfig) -> OpSet:
         pressure_solve=pressure_solve,
         apply_pressure_gradient=apply_pressure_gradient,
         advect_pair=advect_pair,
+        project=project,
     )

@@ -43,9 +43,7 @@ def vel_step(
     v = ops.diffuse(2, v_src, v, alpha, beta, cfg.jacobi_iters)
 
     def _project(u, v):
-        div = ops.divergence(u, v, cfg.n)
-        p = ops.pressure_solve(div, cfg.jacobi_iters)
-        return ops.apply_pressure_gradient(u, v, p, cfg.n)
+        return ops.project(u, v, cfg.n, cfg.jacobi_iters)
 
     u, v = _project(u, v)
     u0, v0 = u, v
