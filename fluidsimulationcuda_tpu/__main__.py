@@ -1,0 +1,136 @@
+"""Command-line interface.
+
+The reference ships 19 standalone ``main()`` binaries, each a hard-wired
+variant run (``./binary <block_dim_x> <block_dim_y>``,
+``naivePar/...BlockPerElement-Naive.cu:345-348``).  Here one CLI covers the
+same surface:
+
+  python -m fluidsimulationcuda_tpu run      --n 510 --steps 100 --save out.npz
+  python -m fluidsimulationcuda_tpu run      --resume out.npz --steps 50
+  python -m fluidsimulationcuda_tpu profile  --n 2046
+  python -m fluidsimulationcuda_tpu datagen  --n 254 --batch 64 --steps 20 --out traj.npz
+  python -m fluidsimulationcuda_tpu info
+"""
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+from .utils.cache import enable_compilation_cache
+
+enable_compilation_cache()
+
+import jax  # noqa: E402
+
+from . import SimConfig, make_step_fn, reference_init, zero_sources  # noqa: E402
+from .utils.checkpoint import load_checkpoint, save_checkpoint  # noqa: E402
+
+
+def _add_common(p):
+    p.add_argument("--n", type=int, default=510)
+    p.add_argument("--iters", type=int, default=20)
+    p.add_argument("--backend", default="auto")
+    p.add_argument("--cmax", type=int, default=4)
+    p.add_argument("--seed", type=int, default=0)
+
+
+def cmd_run(args) -> None:
+    if args.resume:
+        state, cfg, start_step = load_checkpoint(args.resume)
+        sources = None
+        print(f"resumed step {start_step}, n={cfg.n}", file=sys.stderr)
+    else:
+        cfg = SimConfig(n=args.n, jacobi_iters=args.iters,
+                        backend=args.backend, max_courant=args.cmax)
+        state, sources = reference_init(jax.random.key(args.seed), cfg)
+        start_step = 0
+    step = make_step_fn(cfg)
+    zeros = zero_sources(cfg)
+    t0 = time.perf_counter()
+    for k in range(args.steps):
+        src = sources if (k == 0 and sources is not None and start_step == 0) else zeros
+        state = step(state, src)
+    dens = np.asarray(state.dens)  # sync
+    dt_total = time.perf_counter() - t0
+    print(
+        f"{args.steps} steps in {dt_total:.3f}s "
+        f"({dt_total / args.steps * 1e3:.2f} ms/step incl. dispatch); "
+        f"dens sum={dens.sum():.4f} max={dens.max():.5f}",
+        file=sys.stderr,
+    )
+    if args.save:
+        save_checkpoint(args.save, state, cfg, step=start_step + args.steps)
+        print(f"saved {args.save}", file=sys.stderr)
+
+
+def cmd_profile(args) -> None:
+    from .utils.timing import profile_phases
+
+    cfg = SimConfig(n=args.n, jacobi_iters=args.iters, backend=args.backend,
+                    max_courant=args.cmax)
+    report = profile_phases(cfg, jax.random.key(args.seed))
+    print(report.pretty())
+
+
+def cmd_datagen(args) -> None:
+    from .models.batched import generate_trajectories
+
+    cfg = SimConfig(n=args.n, jacobi_iters=args.iters, backend=args.backend,
+                    max_courant=args.cmax)
+    final, snaps = generate_trajectories(
+        jax.random.key(args.seed), cfg, args.batch, args.steps,
+        snapshot_every=args.snapshot_every,
+    )
+    payload = {"dens_final": np.asarray(final.dens)}
+    if snaps is not None:
+        payload["dens_snapshots"] = np.asarray(snaps)
+    np.savez_compressed(args.out, **payload)
+    print(f"wrote {args.out}: "
+          + ", ".join(f"{k}{v.shape}" for k, v in payload.items()),
+          file=sys.stderr)
+
+
+def cmd_info(_args) -> None:
+    print(f"jax {jax.__version__}")
+    print(f"backend: {jax.default_backend()}")
+    print(f"devices: {jax.devices()}")
+    from .oracle import native
+
+    print(f"native C++ engine: {'available' if native.available() else 'unavailable'}")
+
+
+def main(argv=None) -> None:
+    ap = argparse.ArgumentParser(prog="fluidsimulationcuda_tpu")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("run", help="run a simulation")
+    _add_common(p)
+    p.add_argument("--steps", type=int, default=100)
+    p.add_argument("--save", default=None, help="checkpoint path to write")
+    p.add_argument("--resume", default=None, help="checkpoint path to load")
+    p.set_defaults(fn=cmd_run)
+
+    p = sub.add_parser("profile", help="per-phase timing report")
+    _add_common(p)
+    p.set_defaults(fn=cmd_profile)
+
+    p = sub.add_parser("datagen", help="batched trajectory generation")
+    _add_common(p)
+    p.add_argument("--batch", type=int, default=64)
+    p.add_argument("--steps", type=int, default=20)
+    p.add_argument("--snapshot-every", type=int, default=0)
+    p.add_argument("--out", default="trajectories.npz")
+    p.set_defaults(fn=cmd_datagen)
+
+    p = sub.add_parser("info", help="environment info")
+    p.set_defaults(fn=cmd_info)
+
+    args = ap.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()
