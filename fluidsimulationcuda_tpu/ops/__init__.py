@@ -8,3 +8,6 @@ __all__ = [
     "advect", "backtrace", "embed_interior", "set_bnd", "diffuse", "jacobi_sweep",
     "apply_pressure_gradient", "divergence", "pressure_solve", "project", "add_source",
 ]
+from .advect import advect_windowed
+
+__all__ += ["advect_windowed"]

@@ -12,11 +12,12 @@ read stays inside the padded grid.
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from .boundary import embed_interior
 
-__all__ = ["advect", "backtrace"]
+__all__ = ["advect", "advect_windowed", "backtrace"]
 
 
 def backtrace(u: jnp.ndarray, v: jnp.ndarray, dt: float, n: int):
@@ -59,5 +60,64 @@ def advect(
     g01 = jnp.take(flat, base + 1)
     g11 = jnp.take(flat, base + side + 1)
 
+    interior = s0 * (t0 * g00 + t1 * g10) + s1 * (t0 * g01 + t1 * g11)
+    return embed_interior(b, interior)
+
+
+def advect_windowed(
+    b: int,
+    d0: jnp.ndarray,
+    u: jnp.ndarray,
+    v: jnp.ndarray,
+    dt: float,
+    n: int,
+    cmax: int,
+) -> jnp.ndarray:
+    """Window-clamped advection: the jnp specification of the Pallas
+    kernel's masked-shift gather (``kernels/pallas_ops.py``) — the backtrace
+    is additionally clamped to ±``cmax`` cells around each output cell, and
+    the gather is a sum of (2C+1)² masked shifts.  Exact vs ``advect`` while
+    the displacement stays below ``cmax - 1`` cells; serves as the CPU
+    oracle for the clamped regime and for the windowed multi-chip path."""
+    dtype = d0.dtype
+    x, y = backtrace(u, v, dt, n)
+    jj = jnp.arange(1, n + 1, dtype=dtype)[None, :]
+    ii = jnp.arange(1, n + 1, dtype=dtype)[:, None]
+    x = jnp.clip(x, jj - cmax, jj + cmax)
+    y = jnp.clip(y, ii - cmax, ii + cmax)
+    j0 = x.astype(jnp.int32)
+    i0 = y.astype(jnp.int32)
+    s1 = x - j0.astype(dtype)
+    s0 = jnp.asarray(1.0, dtype) - s1
+    t1 = y - i0.astype(dtype)
+    t0 = jnp.asarray(1.0, dtype) - t1
+
+    nshift = 2 * cmax + 1
+    di = i0 - ii.astype(jnp.int32)
+    dj = j0 - jj.astype(jnp.int32)
+    key = (di + cmax) * nshift + (dj + cmax)
+
+    pad = cmax  # padded reads stay in range: indices in [0, n+1] +- cmax
+    dp = jnp.pad(d0, pad)
+    zero = jnp.zeros((n, n), dtype)
+    g00 = g01 = g10 = g11 = zero
+    t = 0
+    for a in range(-cmax, cmax + 1):
+        for bb in range(-cmax, cmax + 1):
+            r0, c0 = pad + 1 + a, pad + 1 + bb
+            m = key == t
+            g00 = jnp.where(m, jax.lax.slice(dp, (r0, c0), (r0 + n, c0 + n)), g00)
+            g01 = jnp.where(
+                m, jax.lax.slice(dp, (r0, c0 + 1), (r0 + n, c0 + 1 + n)), g01
+            )
+            g10 = jnp.where(
+                m, jax.lax.slice(dp, (r0 + 1, c0), (r0 + 1 + n, c0 + n)), g10
+            )
+            g11 = jnp.where(
+                m,
+                jax.lax.slice(dp, (r0 + 1, c0 + 1), (r0 + 1 + n, c0 + 1 + n)),
+                g11,
+            )
+            t += 1
     interior = s0 * (t0 * g00 + t1 * g10) + s1 * (t0 * g01 + t1 * g11)
     return embed_interior(b, interior)

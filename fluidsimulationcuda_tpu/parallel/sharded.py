@@ -272,6 +272,49 @@ def _advect_local(b, d0, u, v, dtim, n, px, py):
     return _apply_bnd_local(b, x, n)
 
 
+def _advect_local_windowed(b, d0, u, v, dtim, n, px, py, cmax):
+    """Window-clamped advection with halo exchange instead of all-gather:
+    the multi-chip twin of ``ops.advect_windowed`` / the Pallas masked-shift
+    kernel.  Communication drops from a full-grid all-gather to a
+    (cmax+1)-deep halo exchange."""
+    dt = d0.dtype
+    K = cmax + 1
+    ext = _extend_deep(d0, px, py, K)
+    m, k = d0.shape
+    gr, gc = _global_coords(d0)
+    dt0 = jnp.asarray(dtim, dt) * n
+    x = gc.astype(dt) - dt0 * u
+    y = gr.astype(dt) - dt0 * v
+    lo = jnp.asarray(0.5, dt)
+    hi = jnp.asarray(n + 0.5, dt)
+    x = jnp.clip(jnp.clip(x, lo, hi), gc - cmax, gc + cmax)
+    y = jnp.clip(jnp.clip(y, lo, hi), gr - cmax, gr + cmax)
+    j0 = x.astype(jnp.int32)
+    i0 = y.astype(jnp.int32)
+    s1 = x - j0.astype(dt)
+    s0 = jnp.asarray(1.0, dt) - s1
+    t1 = y - i0.astype(dt)
+    t0 = jnp.asarray(1.0, dt) - t1
+
+    nshift = 2 * cmax + 1
+    key = (i0 - gr + cmax) * nshift + (j0 - gc + cmax)
+    zero = jnp.zeros((m, k), dt)
+    g00 = g01 = g10 = g11 = zero
+    t = 0
+    for a in range(-cmax, cmax + 1):
+        for bb in range(-cmax, cmax + 1):
+            r0, c0 = K + a, K + bb
+            mask = key == t
+            g00 = jnp.where(mask, jax.lax.slice(ext, (r0, c0), (r0 + m, c0 + k)), g00)
+            g01 = jnp.where(mask, jax.lax.slice(ext, (r0, c0 + 1), (r0 + m, c0 + 1 + k)), g01)
+            g10 = jnp.where(mask, jax.lax.slice(ext, (r0 + 1, c0), (r0 + 1 + m, c0 + k)), g10)
+            g11 = jnp.where(mask, jax.lax.slice(ext, (r0 + 1, c0 + 1), (r0 + 1 + m, c0 + 1 + k)), g11)
+            t += 1
+    interior = s0 * (t0 * g00 + t1 * g10) + s1 * (t0 * g01 + t1 * g11)
+    out = jnp.where(_interior_mask(d0, n), interior, d0)
+    return _apply_bnd_local(b, out, n)
+
+
 def _divergence_local(u, v, n, px, py):
     dt = u.dtype
     ue = _extend(u, px, py)
@@ -308,10 +351,20 @@ def _project_local(u, v, n, iters, px, py):
 # ---------------------------------------------------------------------------
 
 
-def _step_local(cfg: SimConfig, px: int, py: int, state: FluidState, src: Sources):
+def _step_local(cfg: SimConfig, px: int, py: int, advect_mode: str,
+                state: FluidState, src: Sources):
     n, dtim = cfg.n, cfg.dt
     it = cfg.jacobi_iters
     dt_c = jnp.asarray(dtim, state.u.dtype)
+
+    if advect_mode == "windowed":
+        def _advect(b, d0, uu, vv):
+            return _advect_local_windowed(
+                b, d0, uu, vv, dtim, n, px, py, cfg.max_courant
+            )
+    else:
+        def _advect(b, d0, uu, vv):
+            return _advect_local(b, d0, uu, vv, dtim, n, px, py)
 
     u = state.u + dt_c * src.u
     v = state.v + dt_c * src.v
@@ -321,25 +374,32 @@ def _step_local(cfg: SimConfig, px: int, py: int, state: FluidState, src: Source
     v = _diffuse_local(2, src.v, v, alpha, beta, it, n, px, py)
     u, v = _project_local(u, v, n, it, px, py)
     u0, v0 = u, v
-    u = _advect_local(1, u0, u0, v0, dtim, n, px, py)
-    v = _advect_local(2, v0, u0, v0, dtim, n, px, py)
+    u = _advect(1, u0, u0, v0)
+    v = _advect(2, v0, u0, v0)
     u, v = _project_local(u, v, n, it, px, py)
 
     dens = state.dens + dt_c * src.dens
     alpha = cfg.diffusion_alpha_diff
     beta = 1.0 + 4.0 * alpha
     dens = _diffuse_local(0, src.dens, dens, alpha, beta, it, n, px, py)
-    dens = _advect_local(0, dens, u, v, dtim, n, px, py)
+    dens = _advect(0, dens, u, v)
     return FluidState(dens=dens, u=u, v=v)
 
 
 def make_sharded_step_fn(
-    cfg: SimConfig, mesh: Mesh
+    cfg: SimConfig, mesh: Mesh, *, advect_mode: str = "exact"
 ) -> Callable[[FluidState, Sources], FluidState]:
     """A jitted multi-chip step.  Inputs/outputs are global padded grids
     sharded ``P("x", "y")`` over ``mesh``; requires ``(n+2)`` divisible by
     both mesh dimensions (pick n = multiple-of-mesh minus 2, like the
-    reference's ``N = 2^13 - 2``, ``FluidSequential.c:6``)."""
+    reference's ``N = 2^13 - 2``, ``FluidSequential.c:6``).
+
+    ``advect_mode``: "exact" all-gathers the advected field (reference
+    semantics for any displacement); "windowed" exchanges a
+    ``max_courant``-deep halo instead (the Pallas kernels' clamped-window
+    semantics — neighbor-only traffic)."""
+    if advect_mode not in ("exact", "windowed"):
+        raise ValueError(f"unknown advect_mode {advect_mode!r}")
     px, py = mesh.shape["x"], mesh.shape["y"]
     side = cfg.n + 2
     if side % px or side % py:
@@ -351,7 +411,7 @@ def make_sharded_step_fn(
     state_specs = FluidState(dens=spec, u=spec, v=spec, w=None)
     src_specs = Sources(dens=spec, u=spec, v=spec, w=None)
 
-    local = functools.partial(_step_local, cfg, px, py)
+    local = functools.partial(_step_local, cfg, px, py, advect_mode)
     sharded = jax.shard_map(
         local,
         mesh=mesh,

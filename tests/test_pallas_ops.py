@@ -156,3 +156,29 @@ def test_full_step_pallas_backend(strip_mode):
             rtol=1e-5,
             atol=2e-5,  # FMA-contraction ulp noise in advection; see above
         )
+
+
+@pytest.mark.parametrize("scale", [0.5, 20.0])
+def test_windowed_jnp_matches_pallas_in_and_out_of_window(strip_mode, scale):
+    """ops.advect_windowed is the jnp spec of the Pallas masked-shift
+    gather: they must agree BOTH when the displacement fits the window and
+    when the window clamp engages (scale=20 -> multi-cell displacement)."""
+    side = 64
+    n = side - 2
+    d0 = _grid(20, side)
+    u = _grid(21, side, scale)
+    v = _grid(22, side, scale)
+    want = ops.advect_windowed(1, d0, u, v, 0.016, n, cmax=3)
+    got = pallas_ops.advect_shift(1, d0, u, v, 0.016, n, cmax=3)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=1e-5, atol=2e-5
+    )
+
+
+def test_windowed_equals_exact_when_inside(strip_mode):
+    side = 64
+    n = side - 2
+    d0, u, v = _grid(23, side), _grid(24, side, 1.0), _grid(25, side, 1.0)
+    a = ops.advect(0, d0, u, v, 0.016, n)
+    b = ops.advect_windowed(0, d0, u, v, 0.016, n, cmax=4)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-6)

@@ -70,3 +70,45 @@ def test_sharded_output_stays_sharded():
     step = make_sharded_step_fn(cfg, mesh)
     out = step(shard_state(state, mesh), shard_state(sources, mesh))
     assert len(out.dens.sharding.device_set) == 4
+
+
+def test_sharded_windowed_advect_matches_jnp_windowed():
+    """Sharded windowed advection (halo exchange, no all-gather) must match
+    the single-device jnp spec ops.advect_windowed — including when the
+    window clamp engages."""
+    import functools
+    from fluidsimulationcuda_tpu import ops
+    from fluidsimulationcuda_tpu.parallel import sharded as sh
+    from jax.sharding import PartitionSpec as P
+
+    n, cmax = 30, 3
+    key = jax.random.key(9)
+    mk = lambda k, s=1.0: jax.random.uniform(
+        jax.random.key(k), (n + 2, n + 2), dtype="float32", minval=-1, maxval=1) * s
+    for scale in (1.0, 30.0):  # in-window and clamped
+        d0, u, v = mk(1), mk(2, scale), mk(3, scale)
+        want = ops.advect_windowed(1, d0, u, v, 0.016, n, cmax)
+
+        mesh = make_mesh(jax.devices()[:4], (2, 2))
+        f = jax.jit(jax.shard_map(
+            functools.partial(
+                sh._advect_local_windowed, 1, dtim=0.016, n=n, px=2, py=2,
+                cmax=cmax,
+            ),
+            mesh=mesh, in_specs=(P("x", "y"),) * 3, out_specs=P("x", "y"),
+        ))
+        got = f(d0, u, v)
+        # FMA-contraction differs between the shard_map and single-device
+        # compilations (1-ulp backtrace shift -> ~4e-6 weight noise).
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5
+        )
+
+
+def test_sharded_step_windowed_mode_runs():
+    cfg = SimConfig(n=30, jacobi_iters=6, backend="reference", max_courant=3)
+    mesh = make_mesh(jax.devices()[:4], (2, 2))
+    state, sources = reference_init(jax.random.key(12), cfg)
+    step = make_sharded_step_fn(cfg, mesh, advect_mode="windowed")
+    out = step(shard_state(state, mesh), shard_state(sources, mesh))
+    assert np.isfinite(np.asarray(out.dens)).all()
