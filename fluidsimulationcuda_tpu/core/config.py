@@ -43,6 +43,11 @@ class SimConfig:
       fuse_sweeps: how many Jacobi sweeps the Pallas kernel performs per
         HBM round-trip (halo depth of the VMEM tiles).  0 = auto-tune from
         ``n`` and ``jacobi_iters``.
+      pressure_solver: "jacobi" (reference-parity, ``jacobi_iters`` sweeps)
+        or "multigrid" (``mg_cycles`` V-cycles — the reference's own stated
+        future work, ``document/main.tex:356``; mesh-independent convergence,
+        non-parity numerics; requires even interior sizes for coarsening).
+      mg_cycles: V-cycles per pressure solve in multigrid mode.
       max_courant: Pallas advection gathers from a VMEM window of
         ``max_courant`` cells around each output cell; exact while the
         backtrace displacement ``|dt*n*velocity|`` stays below
@@ -61,6 +66,8 @@ class SimConfig:
     backend: str = "auto"
     fuse_sweeps: int = 0
     max_courant: int = 4
+    pressure_solver: str = "jacobi"
+    mg_cycles: int = 2
     ndim: int = 2
 
     def __post_init__(self):
@@ -70,6 +77,8 @@ class SimConfig:
             raise ValueError("jacobi_iters must be >= 1")
         if self.backend not in ("reference", "pallas", "auto"):
             raise ValueError(f"unknown backend {self.backend!r}")
+        if self.pressure_solver not in ("jacobi", "multigrid"):
+            raise ValueError(f"unknown pressure_solver {self.pressure_solver!r}")
         if self.ndim not in (2, 3):
             raise ValueError("ndim must be 2 or 3")
 

@@ -42,8 +42,16 @@ def vel_step(
     u = ops.diffuse(1, u_src, u, alpha, beta, cfg.jacobi_iters)
     v = ops.diffuse(2, v_src, v, alpha, beta, cfg.jacobi_iters)
 
-    def _project(u, v):
-        return ops.project(u, v, cfg.n, cfg.jacobi_iters)
+    if cfg.pressure_solver == "multigrid":
+        from ..ops.multigrid import mg_pressure_solve
+
+        def _project(u, v):
+            div = ops.divergence(u, v, cfg.n)
+            p = mg_pressure_solve(div, cycles=cfg.mg_cycles)
+            return ops.apply_pressure_gradient(u, v, p, cfg.n)
+    else:
+        def _project(u, v):
+            return ops.project(u, v, cfg.n, cfg.jacobi_iters)
 
     u, v = _project(u, v)
     u0, v0 = u, v
