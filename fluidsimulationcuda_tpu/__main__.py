@@ -38,20 +38,28 @@ def _add_common(p):
 
 
 def cmd_run(args) -> None:
+    continuous = False
     if args.resume:
         state, cfg, start_step = load_checkpoint(args.resume)
         sources = None
         print(f"resumed step {start_step}, n={cfg.n}", file=sys.stderr)
     else:
+        from .models.scenarios import SCENARIOS
+
         cfg = SimConfig(n=args.n, jacobi_iters=args.iters,
                         backend=args.backend, max_courant=args.cmax)
-        state, sources = reference_init(jax.random.key(args.seed), cfg)
+        state, sources, continuous = SCENARIOS[args.scenario](
+            jax.random.key(args.seed), cfg
+        )
         start_step = 0
     step = make_step_fn(cfg)
     zeros = zero_sources(cfg)
     t0 = time.perf_counter()
     for k in range(args.steps):
-        src = sources if (k == 0 and sources is not None and start_step == 0) else zeros
+        if sources is not None and (continuous or (k == 0 and start_step == 0)):
+            src = sources
+        else:
+            src = zeros
         state = step(state, src)
     dens = np.asarray(state.dens)  # sync
     dt_total = time.perf_counter() - t0
@@ -64,6 +72,13 @@ def cmd_run(args) -> None:
     if args.save:
         save_checkpoint(args.save, state, cfg, step=start_step + args.steps)
         print(f"saved {args.save}", file=sys.stderr)
+    if args.png:
+        from .utils.viz import save_density_png
+
+        save_density_png(args.png, state.dens,
+                         title=f"{args.scenario if not args.resume else 'resumed'}"
+                               f" @ step {start_step + args.steps}")
+        print(f"wrote {args.png}", file=sys.stderr)
 
 
 def cmd_profile(args) -> None:
@@ -111,6 +126,9 @@ def main(argv=None) -> None:
     p.add_argument("--steps", type=int, default=100)
     p.add_argument("--save", default=None, help="checkpoint path to write")
     p.add_argument("--resume", default=None, help="checkpoint path to load")
+    p.add_argument("--scenario", default="reference",
+                   choices=["reference", "plume", "vortex-pair", "jets"])
+    p.add_argument("--png", default=None, help="render final density to PNG")
     p.set_defaults(fn=cmd_run)
 
     p = sub.add_parser("profile", help="per-phase timing report")
