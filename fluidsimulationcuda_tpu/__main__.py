@@ -35,6 +35,19 @@ def _add_common(p):
     p.add_argument("--backend", default="auto")
     p.add_argument("--cmax", type=int, default=4)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--dt", type=float, default=0.016)
+    p.add_argument("--visc", type=float, default=0.0025)
+    p.add_argument("--diff", type=float, default=0.1,
+                   help="the reference's alpha = dt*diff*n^2 scaling makes "
+                        "large grids hyper-diffusive; lower for demos")
+    p.add_argument("--pressure-solver", default="jacobi",
+                   choices=["jacobi", "multigrid"])
+
+
+def _cfg(args):
+    return SimConfig(n=args.n, jacobi_iters=args.iters, backend=args.backend,
+                     max_courant=args.cmax, dt=args.dt, visc=args.visc,
+                     diff=args.diff, pressure_solver=args.pressure_solver)
 
 
 def cmd_run(args) -> None:
@@ -46,8 +59,7 @@ def cmd_run(args) -> None:
     else:
         from .models.scenarios import SCENARIOS
 
-        cfg = SimConfig(n=args.n, jacobi_iters=args.iters,
-                        backend=args.backend, max_courant=args.cmax)
+        cfg = _cfg(args)
         state, sources, continuous = SCENARIOS[args.scenario](
             jax.random.key(args.seed), cfg
         )
@@ -84,8 +96,7 @@ def cmd_run(args) -> None:
 def cmd_profile(args) -> None:
     from .utils.timing import profile_phases
 
-    cfg = SimConfig(n=args.n, jacobi_iters=args.iters, backend=args.backend,
-                    max_courant=args.cmax)
+    cfg = _cfg(args)
     report = profile_phases(cfg, jax.random.key(args.seed))
     print(report.pretty())
 
@@ -93,8 +104,7 @@ def cmd_profile(args) -> None:
 def cmd_datagen(args) -> None:
     from .models.batched import generate_trajectories
 
-    cfg = SimConfig(n=args.n, jacobi_iters=args.iters, backend=args.backend,
-                    max_courant=args.cmax)
+    cfg = _cfg(args)
     final, snaps = generate_trajectories(
         jax.random.key(args.seed), cfg, args.batch, args.steps,
         snapshot_every=args.snapshot_every,
