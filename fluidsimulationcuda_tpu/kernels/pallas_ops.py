@@ -81,9 +81,16 @@ def _pick_tm(side: int) -> int | None:
 
 def supports(cfg: SimConfig) -> bool:
     # side >= 128: full lane tiles (smaller grids trip Mosaic's (1,128)
-    # tiling on column slices, and XLA handles them fine anyway).
+    # tiling on column slices, and XLA handles them fine anyway).  f32 only:
+    # the 8-row margins/strips assume (8,128) tiling (bf16 needs 16-row).
+    import jax.numpy as jnp
     side = cfg.n + 2
-    return cfg.ndim == 2 and side >= 128 and _pick_tm(side) is not None
+    return (
+        cfg.ndim == 2
+        and side >= 128
+        and cfg.dtype == jnp.float32
+        and _pick_tm(side) is not None
+    )
 
 
 # ---------------------------------------------------------------------------

