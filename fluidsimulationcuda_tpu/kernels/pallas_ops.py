@@ -45,7 +45,7 @@ from .dispatch import OpSet
 INTERPRET = False
 
 _LANE = 128
-_ADVECT_TM = 64  # advection strip height cap (VMEM-bounded; 64 pipelines best)
+_ADVECT_TM = 32  # advection strip height cap (static-unrolled gather stack is VMEM-bounded)
 # This chip exposes far more VMEM than Mosaic's 16MB default scoped limit
 # (96MB scratch verified working); raise the limit and size windows against
 # a conservative budget.
@@ -503,27 +503,44 @@ def _advect_kernel(
         g10[:] = zero
         g11[:] = zero
 
-        def row_term(a_idx, carry):
-            a = a_idx - cmax
-            q = pltpu.roll(wbuf[0:h3, :], -a, 0)
-            rows = q[tm : 2 * tm + 1, :]  # (tm+1, wide) value
+        # Accumulate in VALUES across the static inner loop and write the
+        # refs once per row shift (per-term ref read-modify-writes dominate
+        # otherwise).  The outer row-shift loop is statically unrolled when
+        # small: static sublane slices of wbuf replace dynamic rolls of the
+        # whole window (the rolls moved ~7x more VMEM data than the slices).
+        def row_body(a_idx, rows):
+            v00, v01, v10, v11 = g00[:], g01[:], g10[:], g11[:]
             for bbi in range(nshift):
                 t = a_idx * nshift + bbi
                 coff = lpad + bbi - cmax  # static
                 m = key == t
-                g00[:] = jnp.where(m, rows[0:tm, coff : coff + side], g00[:])
-                g01[:] = jnp.where(
-                    m, rows[0:tm, coff + 1 : coff + 1 + side], g01[:]
+                v00 = jnp.where(m, rows[0:tm, coff : coff + side], v00)
+                v01 = jnp.where(
+                    m, rows[0:tm, coff + 1 : coff + 1 + side], v01
                 )
-                g10[:] = jnp.where(
-                    m, rows[1 : tm + 1, coff : coff + side], g10[:]
+                v10 = jnp.where(
+                    m, rows[1 : tm + 1, coff : coff + side], v10
                 )
-                g11[:] = jnp.where(
-                    m, rows[1 : tm + 1, coff + 1 : coff + 1 + side], g11[:]
+                v11 = jnp.where(
+                    m, rows[1 : tm + 1, coff + 1 : coff + 1 + side], v11
                 )
-            return carry
+            g00[:] = v00
+            g01[:] = v01
+            g10[:] = v10
+            g11[:] = v11
 
-        jax.lax.fori_loop(0, nshift, row_term, 0)
+        if nshift <= 9:
+            for a_idx in range(nshift):
+                a = a_idx - cmax
+                row_body(a_idx, wbuf[tm + a : 2 * tm + 1 + a, :])
+        else:
+            def row_term(a_idx, carry):
+                a = a_idx - cmax
+                q = pltpu.roll(wbuf[0:h3, :], -a, 0)
+                row_body(a_idx, q[tm : 2 * tm + 1, :])
+                return carry
+
+            jax.lax.fori_loop(0, nshift, row_term, 0)
 
         out_refs[f][:] = s0 * (t0 * g00[:] + t1 * g10[:]) + s1 * (
             t0 * g01[:] + t1 * g11[:]
@@ -579,7 +596,7 @@ def _advect_call(bs, d0s, dt, n, cmax, self_adv, u, v):
     # stack all scale with tm x nf x side); ~19/26 full-width rows of live
     # data per output row, empirically calibrated against the 16MB limit.
     rows_per_tm = 19 if nf == 1 else 26
-    cap = _ADVECT_TM if nf == 1 else _ADVECT_TM // 2
+    cap = _ADVECT_TM
     budget = _VMEM_BUDGET
     for cand in (cap, 128, 64, 32, 16, 8):
         if side % cand == 0 and rows_per_tm * cand * side * 4 <= budget:
