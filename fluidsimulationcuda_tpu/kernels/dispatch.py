@@ -36,6 +36,7 @@ class OpSet(NamedTuple):
     apply_pressure_gradient: Callable
     advect_pair: Callable
     project: Callable
+    diffuse_src: Callable
 
 
 def _advect_pair_ref(b1, b2, d1, d2, u, v, dt, n):
@@ -48,6 +49,13 @@ def _project_ref_op(u, v, n, iters):
     return _apg_ref(u, v, p, n)
 
 
+def _diffuse_src_ref(b, src, base, alpha, beta, iters, dt):
+    import jax.numpy as jnp
+
+    rhs = base + jnp.asarray(dt, base.dtype) * src
+    return _diffuse_ref(b, src, rhs, alpha, beta, iters)
+
+
 _REFERENCE_OPS = OpSet(
     diffuse=_diffuse_ref,
     advect=_advect_ref,
@@ -56,6 +64,7 @@ _REFERENCE_OPS = OpSet(
     apply_pressure_gradient=_apg_ref,
     advect_pair=_advect_pair_ref,
     project=_project_ref_op,
+    diffuse_src=_diffuse_src_ref,
 )
 
 

@@ -166,6 +166,7 @@ def _jacobi_kernel(
     x_hbm, rhs_hbm, out_ref, buf_a, buf_b, rhs_buf, sems,
     *, b: int, alpha: float, beta: float, sweeps: int,
     tm: int, wr: int, side: int, zero_init: bool, margin: int,
+    src_dt: float | None = None,
 ):
     gi = pl.program_id(0)
     r0 = gi * tm
@@ -188,6 +189,11 @@ def _jacobi_kernel(
     rhs_cp.wait()
 
     dt = buf_a.dtype
+    if src_dt is not None:
+        # Fused add_source (FluidSequential.c:78-82): the source window is
+        # already resident as the Jacobi guess, so rhs = base + dt*src costs
+        # one VMEM op and removes a whole XLA pass + HBM read.
+        rhs_buf[:] = rhs_buf[:] + jnp.asarray(src_dt, dt) * buf_a[:]
     a_c = jnp.asarray(alpha, dt)
     b_c = jnp.asarray(beta, dt)
 
@@ -234,6 +240,7 @@ def fused_jacobi(
     *,
     zero_init: bool = False,
     max_fused: int = 20,
+    src_dt: float | None = None,
 ) -> jnp.ndarray:
     """``iters`` Jacobi sweeps (semantics of ``ops.diffuse``) with up to
     ``max_fused`` sweeps per HBM round-trip.  ``zero_init`` skips loading the
@@ -254,6 +261,7 @@ def fused_jacobi(
         x = _fused_jacobi_call(
             b, x, x0, float(alpha), float(beta), k, tm, side,
             zero_init and first,
+            float(src_dt) if (src_dt is not None and first) else None,
         )
         first = False
         remaining -= k
@@ -262,9 +270,10 @@ def fused_jacobi(
 
 @functools.partial(
     jax.jit, static_argnames=("b", "alpha", "beta", "sweeps", "tm", "side",
-                              "zero_init")
+                              "zero_init", "src_dt")
 )
-def _fused_jacobi_call(b, x, x0, alpha, beta, sweeps, tm, side, zero_init):
+def _fused_jacobi_call(b, x, x0, alpha, beta, sweeps, tm, side, zero_init,
+                       src_dt=None):
     if tm == side:
         wr = side  # whole grid in one window; margin condition is vacuous
         margin = 0
@@ -275,6 +284,7 @@ def _fused_jacobi_call(b, x, x0, alpha, beta, sweeps, tm, side, zero_init):
     kernel = functools.partial(
         _jacobi_kernel, b=b, alpha=alpha, beta=beta, sweeps=sweeps,
         tm=tm, wr=wr, side=side, zero_init=zero_init, margin=margin,
+        src_dt=src_dt,
     )
     return pl.pallas_call(
         kernel,
@@ -794,6 +804,14 @@ def make_opset(cfg: SimConfig) -> OpSet:
     def diffuse(b, x_init, x0, alpha, beta, iters):
         return fused_jacobi(b, x_init, x0, alpha, beta, iters, max_fused=fuse)
 
+    def diffuse_src(b, src, base, alpha, beta, iters, dt):
+        if iters <= fuse:
+            # single chunk: add_source fused into the kernel's rhs
+            return fused_jacobi(b, src, base, alpha, beta, iters,
+                                max_fused=fuse, src_dt=dt)
+        rhs = base + jnp.asarray(dt, base.dtype) * src
+        return fused_jacobi(b, src, rhs, alpha, beta, iters, max_fused=fuse)
+
     def advect(b, d0, u, v, dt, n):
         return advect_shift(b, d0, u, v, dt, n, cmax=cmax)
 
@@ -825,4 +843,5 @@ def make_opset(cfg: SimConfig) -> OpSet:
         apply_pressure_gradient=apply_pressure_gradient,
         advect_pair=advect_pair,
         project=project,
+        diffuse_src=diffuse_src,
     )

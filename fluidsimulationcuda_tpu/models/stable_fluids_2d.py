@@ -35,12 +35,11 @@ def vel_step(
 ) -> tuple[jax.Array, jax.Array]:
     """Velocity update (``FluidSequential.c:189-241``)."""
     ops = get_ops(cfg)
-    u = add_source(u, u_src, cfg.dt)
-    v = add_source(v, v_src, cfg.dt)
     alpha = cfg.diffusion_alpha_visc
     beta = 1.0 + 4.0 * alpha
-    u = ops.diffuse(1, u_src, u, alpha, beta, cfg.jacobi_iters)
-    v = ops.diffuse(2, v_src, v, alpha, beta, cfg.jacobi_iters)
+    # add_source fused into the diffusion rhs (kernel-level on pallas)
+    u = ops.diffuse_src(1, u_src, u, alpha, beta, cfg.jacobi_iters, cfg.dt)
+    v = ops.diffuse_src(2, v_src, v, alpha, beta, cfg.jacobi_iters, cfg.dt)
 
     if cfg.pressure_solver == "multigrid":
         from ..ops.multigrid import mg_pressure_solve
@@ -64,10 +63,10 @@ def dens_step(
 ) -> jax.Array:
     """Density update (``FluidSequential.c:176-186``)."""
     ops = get_ops(cfg)
-    dens = add_source(dens, dens_src, cfg.dt)
     alpha = cfg.diffusion_alpha_diff
     beta = 1.0 + 4.0 * alpha
-    dens = ops.diffuse(0, dens_src, dens, alpha, beta, cfg.jacobi_iters)
+    dens = ops.diffuse_src(0, dens_src, dens, alpha, beta,
+                           cfg.jacobi_iters, cfg.dt)
     return ops.advect(0, dens, u, v, cfg.dt, cfg.n)
 
 
