@@ -393,6 +393,19 @@ def _project_kernel(
     _apply_bnd_window(vout, 2, r0, tm, side)
 
 
+def fused_project_supported(side: int, iters: int) -> bool:
+    tm = _pick_tm(side)
+    if tm is None:
+        return False
+    if tm == side:
+        return True
+    margin = _ceil8(iters + 3)
+    while 5 * (tm + 2 * margin) * side * 4 > _VMEM_BUDGET and tm > 32:
+        tm //= 2
+    wr = tm + 2 * margin
+    return 5 * wr * side * 4 <= _VMEM_BUDGET and wr <= side
+
+
 def fused_project(u, v, n: int, iters: int):
     """Projection (div + pressure solve + gradient) as one Pallas kernel."""
     return _fused_project_call(u, v, n, iters)
@@ -444,7 +457,7 @@ def _fused_project_call(u, v, n, iters):
 def _advect_kernel(
     *refs,
     nf: int, bs: tuple, dt: float, n: int, tm: int, side: int,
-    cmax: int, lpad: int, self_adv: bool,
+    cmax: int, lpad: int, self_adv: bool, static_rows: bool,
 ):
     # Argument layout: per field 3 shifted blocks (rows r0-tm, r0, r0+tm);
     # then (u, v) center blocks unless self_adv (velocities are the fields
@@ -539,7 +552,7 @@ def _advect_kernel(
             g10[:] = v10
             g11[:] = v11
 
-        if nshift <= 9:
+        if static_rows:
             for a_idx in range(nshift):
                 a = a_idx - cmax
                 row_body(a_idx, wbuf[tm + a : 2 * tm + 1 + a, :])
@@ -605,7 +618,7 @@ def _advect_call(bs, d0s, dt, n, cmax, self_adv, u, v):
     # Strip height bounded by VMEM (blocked windows + accumulators + Mosaic
     # stack all scale with tm x nf x side); ~19/26 full-width rows of live
     # data per output row, empirically calibrated against the 16MB limit.
-    rows_per_tm = 19 if nf == 1 else 26
+    rows_per_tm = 36 if nf == 1 else 50  # calibrated vs Mosaic stack usage
     cap = _ADVECT_TM
     budget = _VMEM_BUDGET
     for cand in (cap, 128, 64, 32, 16, 8):
@@ -618,9 +631,12 @@ def _advect_call(bs, d0s, dt, n, cmax, self_adv, u, v):
     lpad = _LANE  # lane offset so +-cmax column slices stay in bounds
     wide = side + 2 * _LANE
     nstrips = side // tm
+    # Static row unroll keeps Mosaic stack ~ nshift x strip bytes; beyond
+    # ~0.3MB strips (wide grids) fall back to the dynamic-roll loop.
+    static_rows = (2 * cmax + 1) <= 9 and tm * side * 4 <= 288 * 1024
     kernel = functools.partial(
         _advect_kernel, nf=nf, bs=bs, dt=dt, n=n, tm=tm, side=side,
-        cmax=cmax, lpad=lpad, self_adv=self_adv,
+        cmax=cmax, lpad=lpad, self_adv=self_adv, static_rows=static_rows,
     )
 
     def blk(shift):
@@ -817,9 +833,17 @@ def make_opset(cfg: SimConfig) -> OpSet:
 
     def advect_pair(b1, b2, d1, d2, u, v, dt, n):
         self_adv = d1 is u and d2 is v
-        return advect_shift_fused(
-            (b1, b2), (d1, d2), u, v, dt, n, cmax=cmax, self_advect=self_adv
-        )
+        try:
+            return advect_shift_fused(
+                (b1, b2), (d1, d2), u, v, dt, n, cmax=cmax,
+                self_advect=self_adv,
+            )
+        except ValueError:
+            # no viable fused strip height (very wide grids): two singles
+            return (
+                advect_shift(b1, d1, u, v, dt, n, cmax=cmax),
+                advect_shift(b2, d2, u, v, dt, n, cmax=cmax),
+            )
 
     def divergence(u, v, n):
         return divergence_p(u, v, n)
@@ -833,7 +857,12 @@ def make_opset(cfg: SimConfig) -> OpSet:
         return gradient_p(u, v, p, n)
 
     def project(u, v, n, iters):
-        return fused_project(u, v, n, iters)
+        if fused_project_supported(n + 2, iters):
+            return fused_project(u, v, n, iters)
+        # Window too deep for this grid/iter combo: unfused composition.
+        div = divergence_p(u, v, n)
+        p = pressure_solve(div, iters)
+        return gradient_p(u, v, p, n)
 
     return OpSet(
         diffuse=diffuse,

@@ -21,6 +21,23 @@ from ..ops import three_d as o3
 __all__ = ["vel_step3", "dens_step3", "step3", "make_step_fn_3d", "StableFluids3D"]
 
 
+def _advect3(cfg: SimConfig):
+    """Gather strategy: exact XLA gather off-TPU; masked-shift window on TPU
+    (XLA TPU gathers lower serially — see kernels/pallas_ops.py)."""
+    import jax
+
+    if jax.default_backend() == "tpu":
+        def f(b, d0, u, v, w):
+            return o3.advect3_windowed(b, d0, u, v, w, cfg.dt, cfg.n,
+                                       cmax=cfg.max_courant)
+        return f
+
+    def f(b, d0, u, v, w):
+        return o3.advect3(b, d0, u, v, w, cfg.dt, cfg.n)
+
+    return f
+
+
 def vel_step3(cfg: SimConfig, u, v, w, u_src, v_src, w_src):
     u = add_source(u, u_src, cfg.dt)
     v = add_source(v, v_src, cfg.dt)
@@ -32,10 +49,11 @@ def vel_step3(cfg: SimConfig, u, v, w, u_src, v_src, w_src):
     v = o3.diffuse3(2, v_src, v, alpha, beta, it)
     w = o3.diffuse3(3, w_src, w, alpha, beta, it)
     u, v, w = o3.project3(u, v, w, cfg.n, it)
+    adv = _advect3(cfg)
     u0, v0, w0 = u, v, w
-    u = o3.advect3(1, u0, u0, v0, w0, cfg.dt, cfg.n)
-    v = o3.advect3(2, v0, u0, v0, w0, cfg.dt, cfg.n)
-    w = o3.advect3(3, w0, u0, v0, w0, cfg.dt, cfg.n)
+    u = adv(1, u0, u0, v0, w0)
+    v = adv(2, v0, u0, v0, w0)
+    w = adv(3, w0, u0, v0, w0)
     return o3.project3(u, v, w, cfg.n, it)
 
 
@@ -44,7 +62,7 @@ def dens_step3(cfg: SimConfig, dens, dens_src, u, v, w):
     alpha = cfg.diffusion_alpha_diff
     beta = 1.0 + 6.0 * alpha
     dens = o3.diffuse3(0, dens_src, dens, alpha, beta, cfg.jacobi_iters)
-    return o3.advect3(0, dens, u, v, w, cfg.dt, cfg.n)
+    return _advect3(cfg)(0, dens, u, v, w)
 
 
 def step3(cfg: SimConfig, state: FluidState, sources: Sources) -> FluidState:

@@ -26,6 +26,7 @@ __all__ = [
     "set_bnd3",
     "diffuse3",
     "advect3",
+    "advect3_windowed",
     "divergence3",
     "pressure_solve3",
     "apply_pressure_gradient3",
@@ -143,6 +144,75 @@ def advect3(b, d0, u, v, w, dt, n):
         + fz * (
             (one - fy) * ((one - fx) * g(1, 0, 0) + fx * g(1, 0, 1))
             + fy * ((one - fx) * g(1, 1, 0) + fx * g(1, 1, 1))
+        )
+    )
+    return embed_interior3(b, interior)
+
+
+def advect3_windowed(b, d0, u, v, w, dt, n, cmax: int = 2):
+    """Window-clamped trilinear advection via (2C+1)³ masked shifts — the
+    3-D twin of ``ops.advect_windowed``.  XLA TPU gathers lower serially
+    (unusable at volume sizes); masked shifts are vector ops.  Exact while
+    the backtrace displacement is under ``cmax - 1`` cells per axis."""
+    dtype = d0.dtype
+    dt0 = jnp.asarray(dt, dtype) * n
+    coords = jnp.arange(1, n + 1, dtype=dtype)
+    zz = coords[:, None, None]
+    yy = coords[None, :, None]
+    xx = coords[None, None, :]
+    x = xx - dt0 * u[1:-1, 1:-1, 1:-1]
+    y = yy - dt0 * v[1:-1, 1:-1, 1:-1]
+    z = zz - dt0 * w[1:-1, 1:-1, 1:-1]
+    lo = jnp.asarray(0.5, dtype)
+    hi = jnp.asarray(n + 0.5, dtype)
+    x = jnp.clip(jnp.clip(x, lo, hi), xx - cmax, xx + cmax)
+    y = jnp.clip(jnp.clip(y, lo, hi), yy - cmax, yy + cmax)
+    z = jnp.clip(jnp.clip(z, lo, hi), zz - cmax, zz + cmax)
+    i0 = x.astype(jnp.int32)
+    j0 = y.astype(jnp.int32)
+    k0 = z.astype(jnp.int32)
+    fx = x - i0.astype(dtype)
+    fy = y - j0.astype(dtype)
+    fz = z - k0.astype(dtype)
+
+    nsh = 2 * cmax + 1
+    di = i0 - xx.astype(jnp.int32)
+    dj = j0 - yy.astype(jnp.int32)
+    dk = k0 - zz.astype(jnp.int32)
+    key = ((dk + cmax) * nsh + (dj + cmax)) * nsh + (di + cmax)
+
+    pad = cmax
+    dp = jnp.pad(d0, pad)
+
+    corners = {}
+    zero = jnp.zeros((n, n, n), dtype)
+    for cz in (0, 1):
+        for cy in (0, 1):
+            for cx in (0, 1):
+                corners[(cz, cy, cx)] = zero
+    t = 0
+    for a in range(-cmax, cmax + 1):          # z shift
+        for bb in range(-cmax, cmax + 1):     # y shift
+            for cc in range(-cmax, cmax + 1):  # x shift
+                m = key == t
+                base = (pad + 1 + a, pad + 1 + bb, pad + 1 + cc)
+                for (cz, cy, cx), acc in corners.items():
+                    s0_ = (base[0] + cz, base[1] + cy, base[2] + cx)
+                    sl = jax.lax.slice(
+                        dp, s0_, (s0_[0] + n, s0_[1] + n, s0_[2] + n)
+                    )
+                    corners[(cz, cy, cx)] = jnp.where(m, sl, acc)
+                t += 1
+
+    one = jnp.asarray(1.0, dtype)
+    interior = (
+        (one - fz) * (
+            (one - fy) * ((one - fx) * corners[(0, 0, 0)] + fx * corners[(0, 0, 1)])
+            + fy * ((one - fx) * corners[(0, 1, 0)] + fx * corners[(0, 1, 1)])
+        )
+        + fz * (
+            (one - fy) * ((one - fx) * corners[(1, 0, 0)] + fx * corners[(1, 0, 1)])
+            + fy * ((one - fx) * corners[(1, 1, 0)] + fx * corners[(1, 1, 1)])
         )
     )
     return embed_interior3(b, interior)

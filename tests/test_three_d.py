@@ -111,3 +111,20 @@ def test_step3_runs_and_stays_finite():
     for f in (s.dens, s.u, s.v, s.w):
         assert np.isfinite(np.asarray(f)).all()
     assert np.asarray(s.dens).min() > -1e-5
+
+
+def test_advect3_windowed_matches_exact_inside_window():
+    n = 10
+    d0, u, v, w = _vol(6, n), _vol(7, n, 1.0), _vol(8, n, 1.0), _vol(9, n, 1.0)
+    a = np.asarray(o3.advect3(0, d0, u, v, w, 0.016, n))
+    b = np.asarray(o3.advect3_windowed(0, d0, u, v, w, 0.016, n, cmax=2))
+    np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-6)
+
+
+def test_advect3_windowed_clamps_finite():
+    n = 8
+    d0 = _vol(10, n)
+    big = jnp.full_like(d0, 50.0)
+    out = np.asarray(o3.advect3_windowed(0, d0, big, big, big, 0.016, n, cmax=2))
+    assert np.isfinite(out).all()
+    assert out.max() <= np.asarray(d0).max() + 1e-6
