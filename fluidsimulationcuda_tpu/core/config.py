@@ -48,6 +48,11 @@ class SimConfig:
         future work, ``document/main.tex:356``; mesh-independent convergence,
         non-parity numerics; requires even interior sizes for coarsening).
       mg_cycles: V-cycles per pressure solve in multigrid mode.
+      advect_mode: gather strategy for the reference (jnp) backend —
+        "exact" uses the XLA gather (arbitrary displacement; serialized and
+        slow on TPU), "windowed" uses the masked-shift window (TPU-fast,
+        vmappable; clamped to ``max_courant`` cells).  "auto": exact off-TPU,
+        windowed on TPU.  The pallas backend is always windowed.
       max_courant: Pallas advection gathers from a VMEM window of
         ``max_courant`` cells around each output cell; exact while the
         backtrace displacement ``|dt*n*velocity|`` stays below
@@ -68,6 +73,7 @@ class SimConfig:
     max_courant: int = 4
     pressure_solver: str = "jacobi"
     mg_cycles: int = 2
+    advect_mode: str = "auto"
     ndim: int = 2
 
     def __post_init__(self):
@@ -79,6 +85,8 @@ class SimConfig:
             raise ValueError(f"unknown backend {self.backend!r}")
         if self.pressure_solver not in ("jacobi", "multigrid"):
             raise ValueError(f"unknown pressure_solver {self.pressure_solver!r}")
+        if self.advect_mode not in ("auto", "exact", "windowed"):
+            raise ValueError(f"unknown advect_mode {self.advect_mode!r}")
         if self.ndim not in (2, 3):
             raise ValueError("ndim must be 2 or 3")
 

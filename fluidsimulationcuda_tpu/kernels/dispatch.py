@@ -86,6 +86,19 @@ def get_ops(cfg: SimConfig) -> OpSet:
     if backend == "auto":
         backend = "pallas" if (_on_tpu() and _pallas_supported(cfg)) else "reference"
     if backend == "reference":
+        mode = cfg.advect_mode
+        if mode == "auto":
+            mode = "windowed" if _on_tpu() else "exact"
+        if mode == "windowed":
+            from ..ops.advect import advect_windowed
+
+            def adv(b, d0, u, v, dt, n):
+                return advect_windowed(b, d0, u, v, dt, n, cfg.max_courant)
+
+            def adv_pair(b1, b2, d1, d2, u, v, dt, n):
+                return adv(b1, d1, u, v, dt, n), adv(b2, d2, u, v, dt, n)
+
+            return _REFERENCE_OPS._replace(advect=adv, advect_pair=adv_pair)
         return _REFERENCE_OPS
     if backend == "pallas":
         from . import pallas_ops  # deferred: requires TPU-capable lowering

@@ -32,9 +32,18 @@ def batched_init(key: jax.Array, cfg: SimConfig, batch: int):
     return jax.vmap(lambda k: reference_init(k, cfg))(keys)
 
 
+def _batched_cfg(cfg: SimConfig) -> SimConfig:
+    """Pallas kernels cannot be vmapped (ANY-memory blocks reject batching);
+    the batched path uses the jnp backend, with windowed (masked-shift)
+    advection so TPU avoids the serialized XLA gather."""
+    if cfg.backend in ("pallas", "auto"):
+        cfg = cfg.replace(backend="reference")
+    return cfg
+
+
 def make_batched_step_fn(cfg: SimConfig) -> Callable:
     """vmapped + jitted step over a leading batch axis."""
-    return jax.jit(jax.vmap(functools.partial(step, cfg)))
+    return jax.jit(jax.vmap(functools.partial(step, _batched_cfg(cfg))))
 
 
 def generate_trajectories(
@@ -52,7 +61,7 @@ def generate_trajectories(
     """
     state, sources = batched_init(key, cfg, batch)
     zeros = jax.tree.map(jnp.zeros_like, sources)  # None leaves are skipped
-    vstep = jax.vmap(functools.partial(step, cfg))
+    vstep = jax.vmap(functools.partial(step, _batched_cfg(cfg)))
 
     def body(carry, k):
         st = carry
