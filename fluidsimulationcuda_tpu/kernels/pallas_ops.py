@@ -168,21 +168,24 @@ def _jacobi_kernel(
     tm: int, wr: int, side: int, zero_init: bool, margin: int,
     src_dt: float | None = None,
 ):
-    gi = pl.program_id(0)
+    # Grid is (batch, strips): batched simulations are independent grids
+    # stacked on a leading axis (unbatched arrays are reshaped to B=1).
+    bi = pl.program_id(0)
+    gi = pl.program_id(1)
     r0 = gi * tm
     # margin is 8-aligned and >= sweeps+1, so r0 - start is always a
     # multiple of 8 (Mosaic requires provably aligned sublane offsets).
     start = pl.multiple_of(jnp.clip(r0 - margin, 0, side - wr), 8)
 
     rhs_cp = pltpu.make_async_copy(
-        rhs_hbm.at[pl.ds(start, wr), :], rhs_buf, sems.at[0]
+        rhs_hbm.at[bi, pl.ds(start, wr), :], rhs_buf, sems.at[0]
     )
     rhs_cp.start()
     if zero_init:
         buf_a[:] = jnp.zeros((wr, side), buf_a.dtype)
     else:
         x_cp = pltpu.make_async_copy(
-            x_hbm.at[pl.ds(start, wr), :], buf_a, sems.at[1]
+            x_hbm.at[bi, pl.ds(start, wr), :], buf_a, sems.at[1]
         )
         x_cp.start()
         x_cp.wait()
@@ -226,8 +229,9 @@ def _jacobi_kernel(
         sweep(buf_a, buf_b)
         buf_a[:] = buf_b[:]
 
-    out_ref[:] = buf_a[pl.ds(pl.multiple_of(r0 - start, 8), tm), :]
-    _apply_corners(out_ref, r0, tm, side)
+    ob = out_ref.at[0]
+    ob[:] = buf_a[pl.ds(pl.multiple_of(r0 - start, 8), tm), :]
+    _apply_corners(ob, r0, tm, side)
 
 
 def fused_jacobi(
@@ -244,8 +248,9 @@ def fused_jacobi(
 ) -> jnp.ndarray:
     """``iters`` Jacobi sweeps (semantics of ``ops.diffuse``) with up to
     ``max_fused`` sweeps per HBM round-trip.  ``zero_init`` skips loading the
-    initial guess (pressure solve: p is zeroed, ``FluidSequential.c:153``)."""
-    side = x0.shape[0]
+    initial guess (pressure solve: p is zeroed, ``FluidSequential.c:153``).
+    Accepts (side, side) or batched (B, side, side) arrays."""
+    side = x0.shape[-1]
     tm = _pick_tm(side)
     assert tm is not None, f"unsupported side {side}"
 
@@ -286,15 +291,20 @@ def _fused_jacobi_call(b, x, x0, alpha, beta, sweeps, tm, side, zero_init,
         tm=tm, wr=wr, side=side, zero_init=zero_init, margin=margin,
         src_dt=src_dt,
     )
-    return pl.pallas_call(
+    squeeze = x0.ndim == 2
+    if squeeze:
+        x = x.reshape(1, side, side)
+        x0 = x0.reshape(1, side, side)
+    nb = x0.shape[0]
+    out = pl.pallas_call(
         kernel,
-        grid=(side // tm,),
-        out_shape=jax.ShapeDtypeStruct((side, side), x0.dtype),
+        grid=(nb, side // tm),
+        out_shape=jax.ShapeDtypeStruct((nb, side, side), x0.dtype),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec((tm, side), lambda gi: (gi, 0),
+        out_specs=pl.BlockSpec((1, tm, side), lambda bi, gi: (bi, gi, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((wr, side), x0.dtype),
@@ -305,6 +315,7 @@ def _fused_jacobi_call(b, x, x0, alpha, beta, sweeps, tm, side, zero_init,
         interpret=INTERPRET,
         compiler_params=None if INTERPRET else _cparams(),
     )(x, x0)
+    return out.reshape(side, side) if squeeze else out
 
 
 # ---------------------------------------------------------------------------
@@ -327,12 +338,13 @@ def _project_kernel(
     ring, refreshed by the in-sweep BC — reference ``set_bnd(0, ...)``,
     ``FluidSequential.c:156-157``).
     """
-    gi = pl.program_id(0)
+    bi = pl.program_id(0)
+    gi = pl.program_id(1)
     r0 = gi * tm
     start = pl.multiple_of(jnp.clip(r0 - margin, 0, side - wr), 8)
 
-    cu = pltpu.make_async_copy(u_hbm.at[pl.ds(start, wr), :], ubuf, sems.at[0])
-    cv = pltpu.make_async_copy(v_hbm.at[pl.ds(start, wr), :], vbuf, sems.at[1])
+    cu = pltpu.make_async_copy(u_hbm.at[bi, pl.ds(start, wr), :], ubuf, sems.at[0])
+    cv = pltpu.make_async_copy(v_hbm.at[bi, pl.ds(start, wr), :], vbuf, sems.at[1])
     cu.start()
     cv.start()
     cu.wait()
@@ -387,10 +399,11 @@ def _project_kernel(
     dp = pltpu.roll(p_c, side - 1, 1) - pltpu.roll(p_c, 1, 1)
     u_c = ubuf[pl.ds(off, tm), :]
     v_c = vbuf[pl.ds(off, tm), :]
-    uout[:] = u_c - (half * dp) / h
-    vout[:] = v_c - (half * (p_dn - p_up)) / h
-    _apply_bnd_window(uout, 1, r0, tm, side)
-    _apply_bnd_window(vout, 2, r0, tm, side)
+    uo, vo = uout.at[0], vout.at[0]
+    uo[:] = u_c - (half * dp) / h
+    vo[:] = v_c - (half * (p_dn - p_up)) / h
+    _apply_bnd_window(uo, 1, r0, tm, side)
+    _apply_bnd_window(vo, 2, r0, tm, side)
 
 
 def fused_project_supported(side: int, iters: int) -> bool:
@@ -432,13 +445,19 @@ def _fused_project_call(u, v, n, iters):
         _project_kernel, n=n, iters=iters, tm=tm, wr=wr, side=side,
         margin=margin,
     )
-    blk = pl.BlockSpec((tm, side), lambda gi: (gi, 0), memory_space=pltpu.VMEM)
-    return pl.pallas_call(
+    squeeze = u.ndim == 2
+    if squeeze:
+        u = u.reshape(1, side, side)
+        v = v.reshape(1, side, side)
+    nb = u.shape[0]
+    blk = pl.BlockSpec((1, tm, side), lambda bi, gi: (bi, gi, 0),
+                       memory_space=pltpu.VMEM)
+    uo, vo = pl.pallas_call(
         kernel,
-        grid=(side // tm,),
+        grid=(nb, side // tm),
         out_shape=(
-            jax.ShapeDtypeStruct((side, side), u.dtype),
-            jax.ShapeDtypeStruct((side, side), u.dtype),
+            jax.ShapeDtypeStruct((nb, side, side), u.dtype),
+            jax.ShapeDtypeStruct((nb, side, side), u.dtype),
         ),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 2,
         out_specs=(blk, blk),
@@ -447,6 +466,9 @@ def _fused_project_call(u, v, n, iters):
         interpret=INTERPRET,
         compiler_params=None if INTERPRET else _cparams(),
     )(u, v)
+    if squeeze:
+        return uo.reshape(side, side), vo.reshape(side, side)
+    return uo, vo
 
 
 # ---------------------------------------------------------------------------
@@ -472,7 +494,7 @@ def _advect_kernel(
     out_refs = refs[idx : idx + nf]
     wbuf, g00, g01, g10, g11 = refs[idx + nf :]
 
-    gi = pl.program_id(0)
+    gi = pl.program_id(1)
     r0 = gi * tm
 
     dtype = u_ref.dtype
@@ -481,8 +503,8 @@ def _advect_kernel(
     gr = (r0 + jax.lax.broadcasted_iota(jnp.int32, (tm, side), 0)).astype(dtype)
     gc = jax.lax.broadcasted_iota(jnp.int32, (tm, side), 1).astype(dtype)
 
-    x = gc - dt0 * u_ref[:]
-    y = gr - dt0 * v_ref[:]
+    x = gc - dt0 * u_ref[0]
+    y = gr - dt0 * v_ref[0]
     lo = jnp.asarray(0.5, dtype)
     hi = jnp.asarray(n + 0.5, dtype)
     x = jnp.clip(x, lo, hi)
@@ -517,9 +539,9 @@ def _advect_kernel(
     h3 = 3 * tm
     for f in range(nf):
         m1, c0, p1 = blocks[3 * f : 3 * f + 3]
-        wbuf[0:tm, lpad : lpad + side] = m1[:]
-        wbuf[tm : 2 * tm, lpad : lpad + side] = c0[:]
-        wbuf[2 * tm : h3, lpad : lpad + side] = p1[:]
+        wbuf[0:tm, lpad : lpad + side] = m1[0]
+        wbuf[tm : 2 * tm, lpad : lpad + side] = c0[0]
+        wbuf[2 * tm : h3, lpad : lpad + side] = p1[0]
         zero = jnp.zeros((tm, side), dtype)
         g00[:] = zero
         g01[:] = zero
@@ -565,10 +587,11 @@ def _advect_kernel(
 
             jax.lax.fori_loop(0, nshift, row_term, 0)
 
-        out_refs[f][:] = s0 * (t0 * g00[:] + t1 * g10[:]) + s1 * (
+        ob = out_refs[f].at[0]
+        ob[:] = s0 * (t0 * g00[:] + t1 * g10[:]) + s1 * (
             t0 * g01[:] + t1 * g11[:]
         )
-        _apply_bnd_window(out_refs[f], bs[f], r0, tm, side)
+        _apply_bnd_window(ob, bs[f], r0, tm, side)
 
 
 def advect_shift(
@@ -641,19 +664,26 @@ def _advect_call(bs, d0s, dt, n, cmax, self_adv, u, v):
 
     def blk(shift):
         if shift == 0:
-            return pl.BlockSpec((tm, side), lambda gi: (gi, 0),
+            return pl.BlockSpec((1, tm, side), lambda bi, gi: (bi, gi, 0),
                                 memory_space=pltpu.VMEM)
         if shift < 0:
             return pl.BlockSpec(
-                (tm, side), lambda gi: (jnp.maximum(gi - 1, 0), 0),
+                (1, tm, side),
+                lambda bi, gi: (bi, jnp.maximum(gi - 1, 0), 0),
                 memory_space=pltpu.VMEM,
             )
         return pl.BlockSpec(
-            (tm, side),
-            lambda gi: (jnp.minimum(gi + 1, nstrips - 1), 0),
+            (1, tm, side),
+            lambda bi, gi: (bi, jnp.minimum(gi + 1, nstrips - 1), 0),
             memory_space=pltpu.VMEM,
         )
 
+    squeeze = d0s[0].ndim == 2
+    if squeeze:
+        d0s = tuple(d.reshape(1, side, side) for d in d0s)
+        u = u.reshape(1, side, side)
+        v = v.reshape(1, side, side)
+    nb = d0s[0].shape[0]
     in_specs = []
     operands = []
     for d0 in d0s:
@@ -665,9 +695,9 @@ def _advect_call(bs, d0s, dt, n, cmax, self_adv, u, v):
     dtype = d0s[0].dtype
     out = pl.pallas_call(
         kernel,
-        grid=(nstrips,),
+        grid=(nb, nstrips),
         out_shape=tuple(
-            jax.ShapeDtypeStruct((side, side), dtype) for _ in range(nf)
+            jax.ShapeDtypeStruct((nb, side, side), dtype) for _ in range(nf)
         ),
         in_specs=in_specs,
         out_specs=tuple(blk(0) for _ in range(nf)),
@@ -681,7 +711,10 @@ def _advect_call(bs, d0s, dt, n, cmax, self_adv, u, v):
         interpret=INTERPRET,
         compiler_params=None if INTERPRET else _cparams(),
     )(*operands)
-    return out if isinstance(out, tuple) else (out,)
+    out = out if isinstance(out, tuple) else (out,)
+    if squeeze:
+        out = tuple(o.reshape(side, side) for o in out)
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -710,30 +743,32 @@ def _lane_diff(x, side: int):
 def _divergence_kernel(
     u_ref, v_m1, v_c, v_p1, out_ref, *, n: int, tm: int, side: int
 ):
-    gi = pl.program_id(0)
+    gi = pl.program_id(1)
     r0 = gi * tm
     dt = out_ref.dtype
     h = jnp.asarray(1.0, dt) / n
-    _, v_up, v_dn = _shifted_rows(v_m1, v_c, v_p1)
-    du = _lane_diff(u_ref[:], side)
-    out_ref[:] = (jnp.asarray(-0.5, dt) * h) * (du + (v_dn - v_up))
-    _apply_bnd_window(out_ref, 0, r0, tm, side)
+    _, v_up, v_dn = _shifted_rows(v_m1.at[0], v_c.at[0], v_p1.at[0])
+    du = _lane_diff(u_ref[0], side)
+    ob = out_ref.at[0]
+    ob[:] = (jnp.asarray(-0.5, dt) * h) * (du + (v_dn - v_up))
+    _apply_bnd_window(ob, 0, r0, tm, side)
 
 
 def _gradient_kernel(
     p_m1, p_c, p_p1, u_ref, v_ref, uout, vout, *, n: int, tm: int, side: int
 ):
-    gi = pl.program_id(0)
+    gi = pl.program_id(1)
     r0 = gi * tm
     dt = uout.dtype
     h = jnp.asarray(1.0, dt) / n
     half = jnp.asarray(0.5, dt)
-    pc, p_up, p_dn = _shifted_rows(p_m1, p_c, p_p1)
+    pc, p_up, p_dn = _shifted_rows(p_m1.at[0], p_c.at[0], p_p1.at[0])
     dp = _lane_diff(pc, side)
-    uout[:] = u_ref[:] - (half * dp) / h
-    vout[:] = v_ref[:] - (half * (p_dn - p_up)) / h
-    _apply_bnd_window(uout, 1, r0, tm, side)
-    _apply_bnd_window(vout, 2, r0, tm, side)
+    uo, vo = uout.at[0], vout.at[0]
+    uo[:] = u_ref[0] - (half * dp) / h
+    vo[:] = v_ref[0] - (half * (p_dn - p_up)) / h
+    _apply_bnd_window(uo, 1, r0, tm, side)
+    _apply_bnd_window(vo, 2, r0, tm, side)
 
 
 def _halo1_specs(side: int):
@@ -751,16 +786,17 @@ def _halo1_specs(side: int):
 
     def blk(shift):
         if shift == 0:
-            return pl.BlockSpec((tm, side), lambda gi: (gi, 0),
+            return pl.BlockSpec((1, tm, side), lambda bi, gi: (bi, gi, 0),
                                 memory_space=pltpu.VMEM)
         if shift < 0:
             return pl.BlockSpec(
-                (tm, side), lambda gi: (jnp.maximum(gi - 1, 0), 0),
+                (1, tm, side),
+                lambda bi, gi: (bi, jnp.maximum(gi - 1, 0), 0),
                 memory_space=pltpu.VMEM,
             )
         return pl.BlockSpec(
-            (tm, side),
-            lambda gi: (jnp.minimum(gi + 1, nstrips - 1), 0),
+            (1, tm, side),
+            lambda bi, gi: (bi, jnp.minimum(gi + 1, nstrips - 1), 0),
             memory_space=pltpu.VMEM,
         )
 
@@ -772,15 +808,21 @@ def divergence_p(u, v, n):
     side = n + 2
     tm, blk = _halo1_specs(side)
     kernel = functools.partial(_divergence_kernel, n=n, tm=tm, side=side)
-    return pl.pallas_call(
+    squeeze = u.ndim == 2
+    if squeeze:
+        u = u.reshape(1, side, side)
+        v = v.reshape(1, side, side)
+    nb = u.shape[0]
+    out = pl.pallas_call(
         kernel,
-        grid=(side // tm,),
-        out_shape=jax.ShapeDtypeStruct((side, side), u.dtype),
+        grid=(nb, side // tm),
+        out_shape=jax.ShapeDtypeStruct((nb, side, side), u.dtype),
         in_specs=[blk(0), blk(-1), blk(0), blk(+1)],
         out_specs=blk(0),
         interpret=INTERPRET,
         compiler_params=None if INTERPRET else _cparams(),
     )(u, v, v, v)
+    return out.reshape(side, side) if squeeze else out
 
 
 @functools.partial(jax.jit, static_argnames=("n",))
@@ -788,18 +830,27 @@ def gradient_p(u, v, p, n):
     side = n + 2
     tm, blk = _halo1_specs(side)
     kernel = functools.partial(_gradient_kernel, n=n, tm=tm, side=side)
-    return pl.pallas_call(
+    squeeze = u.ndim == 2
+    if squeeze:
+        u = u.reshape(1, side, side)
+        v = v.reshape(1, side, side)
+        p = p.reshape(1, side, side)
+    nb = u.shape[0]
+    uo, vo = pl.pallas_call(
         kernel,
-        grid=(side // tm,),
+        grid=(nb, side // tm),
         out_shape=(
-            jax.ShapeDtypeStruct((side, side), u.dtype),
-            jax.ShapeDtypeStruct((side, side), u.dtype),
+            jax.ShapeDtypeStruct((nb, side, side), u.dtype),
+            jax.ShapeDtypeStruct((nb, side, side), u.dtype),
         ),
         in_specs=[blk(-1), blk(0), blk(+1), blk(0), blk(0)],
         out_specs=(blk(0), blk(0)),
         interpret=INTERPRET,
         compiler_params=None if INTERPRET else _cparams(),
     )(p, p, p, u, v)
+    if squeeze:
+        return uo.reshape(side, side), vo.reshape(side, side)
+    return uo, vo
 
 
 # ---------------------------------------------------------------------------

@@ -32,17 +32,30 @@ def batched_init(key: jax.Array, cfg: SimConfig, batch: int):
     return jax.vmap(lambda k: reference_init(k, cfg))(keys)
 
 
+def _use_batched_pallas(cfg: SimConfig) -> bool:
+    """The Pallas kernels are batch-polymorphic (batch = leading grid dim),
+    so batched state runs through them DIRECTLY — vmap is neither needed nor
+    possible (ANY-memory blocks reject JAX batching)."""
+    if cfg.pressure_solver != "jacobi":
+        return False
+    from ..kernels.dispatch import _on_tpu, _pallas_supported
+
+    if cfg.backend == "pallas":
+        return True
+    return cfg.backend == "auto" and _on_tpu() and _pallas_supported(cfg)
+
+
 def _batched_cfg(cfg: SimConfig) -> SimConfig:
-    """Pallas kernels cannot be vmapped (ANY-memory blocks reject batching);
-    the batched path uses the jnp backend, with windowed (masked-shift)
-    advection so TPU avoids the serialized XLA gather."""
     if cfg.backend in ("pallas", "auto"):
         cfg = cfg.replace(backend="reference")
     return cfg
 
 
 def make_batched_step_fn(cfg: SimConfig) -> Callable:
-    """vmapped + jitted step over a leading batch axis."""
+    """Jitted step over a leading batch axis: batch-polymorphic Pallas
+    kernels when available, vmapped jnp step otherwise."""
+    if _use_batched_pallas(cfg):
+        return jax.jit(functools.partial(step, cfg.replace(backend="pallas")))
     return jax.jit(jax.vmap(functools.partial(step, _batched_cfg(cfg))))
 
 
@@ -60,29 +73,43 @@ def generate_trajectories(
     (the datagen payload), shape ``(num_snaps, batch, side, side)``.
     """
     state, sources = batched_init(key, cfg, batch)
-    zeros = jax.tree.map(jnp.zeros_like, sources)  # None leaves are skipped
-    vstep = jax.vmap(functools.partial(step, _batched_cfg(cfg)))
-
-    def body(carry, k):
-        st = carry
-        src = jax.tree.map(
-            lambda s, z: jnp.where(k == 0, s, z), sources, zeros
-        )
-        st = vstep(st, src)
-        if snapshot_every:
-            snap = jax.lax.cond(
-                (k + 1) % snapshot_every == 0,
-                lambda: st.dens,
-                lambda: jnp.zeros_like(st.dens),
-            )
-            return st, snap
-        return st, None
-
-    def run(state):
-        return jax.lax.scan(body, state, jnp.arange(num_steps))
-
-    final, snaps = jax.jit(run)(state)
+    runner = _trajectory_runner(cfg, num_steps, snapshot_every)
+    final, snaps = runner(state, sources)
     if snapshot_every:
         snaps = snaps[snapshot_every - 1 :: snapshot_every]
         return final, snaps
     return final, None
+
+
+@functools.lru_cache(maxsize=16)
+def _trajectory_runner(cfg: SimConfig, num_steps: int, snapshot_every: int):
+    """Compiled trajectory scan, cached per (cfg, steps, cadence) — a fresh
+    jit per call would re-trace the whole scan every time (measured ~19s of
+    pure tracing overhead per datagen call)."""
+    if _use_batched_pallas(cfg):
+        vstep = functools.partial(step, cfg.replace(backend="pallas"))
+    else:
+        vstep = jax.vmap(functools.partial(step, _batched_cfg(cfg)))
+
+    @jax.jit
+    def run(state, sources):
+        zeros = jax.tree.map(jnp.zeros_like, sources)
+
+        def body(carry, k):
+            st = carry
+            src = jax.tree.map(
+                lambda s, z: jnp.where(k == 0, s, z), sources, zeros
+            )
+            st = vstep(st, src)
+            if snapshot_every:
+                snap = jax.lax.cond(
+                    (k + 1) % snapshot_every == 0,
+                    lambda: st.dens,
+                    lambda: jnp.zeros_like(st.dens),
+                )
+                return st, snap
+            return st, None
+
+        return jax.lax.scan(body, state, jnp.arange(num_steps))
+
+    return run

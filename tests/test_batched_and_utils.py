@@ -98,3 +98,27 @@ def test_wallclock_smoke():
     x = jnp.ones((64, 64))
     sec = wallclock(lambda a, b: a + b, x, x, reps=1, chain=10)
     assert sec > 0
+
+
+def test_batched_pallas_kernels_match_vmapped_reference():
+    """Batch-polymorphic pallas kernels (interpret mode) == vmapped jnp."""
+    import jax.numpy as jnp
+    from fluidsimulationcuda_tpu.kernels import pallas_ops
+    from fluidsimulationcuda_tpu.models.stable_fluids_2d import step
+    import functools
+
+    pallas_ops.INTERPRET = True
+    try:
+        cfg_p = SimConfig(n=30, jacobi_iters=6, backend="pallas", max_courant=2)
+        cfg_r = cfg_p.replace(backend="reference")
+        states, sources = batched_init(jax.random.key(5), cfg_r, 3)
+        got = functools.partial(step, cfg_p)(states, sources)  # direct batched
+        want = jax.vmap(functools.partial(step, cfg_r))(states, sources)
+        for name in ("dens", "u", "v"):
+            np.testing.assert_allclose(
+                np.asarray(getattr(got, name)),
+                np.asarray(getattr(want, name)),
+                rtol=1e-5, atol=2e-5, err_msg=name,
+            )
+    finally:
+        pallas_ops.INTERPRET = False
