@@ -107,6 +107,7 @@ def test_batched_pallas_kernels_match_vmapped_reference():
     from fluidsimulationcuda_tpu.models.stable_fluids_2d import step
     import functools
 
+    prev_interpret = pallas_ops.INTERPRET
     pallas_ops.INTERPRET = True
     try:
         cfg_p = SimConfig(n=30, jacobi_iters=6, backend="pallas", max_courant=2)
@@ -121,4 +122,4 @@ def test_batched_pallas_kernels_match_vmapped_reference():
                 rtol=1e-5, atol=2e-5, err_msg=name,
             )
     finally:
-        pallas_ops.INTERPRET = False
+        pallas_ops.INTERPRET = prev_interpret
