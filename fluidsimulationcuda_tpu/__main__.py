@@ -25,7 +25,7 @@ enable_compilation_cache()
 
 import jax  # noqa: E402
 
-from . import SimConfig, make_step_fn, reference_init, zero_sources  # noqa: E402
+from . import SimConfig, make_step_fn, zero_sources  # noqa: E402
 from .utils.checkpoint import load_checkpoint, save_checkpoint  # noqa: E402
 
 

@@ -31,7 +31,6 @@ reference accepted between CUDA and CPU, ``document/main.tex:349``).
 from __future__ import annotations
 
 import functools
-from typing import Sequence
 
 import jax
 import jax.numpy as jnp

@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 
 from ..core.config import SimConfig
-from ..core.state import FluidState, Sources, reference_init
+from ..core.state import reference_init
 from .stable_fluids_2d import step
 
 __all__ = ["batched_init", "make_batched_step_fn", "generate_trajectories"]

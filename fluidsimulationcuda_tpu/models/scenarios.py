@@ -12,7 +12,7 @@ import jax
 import jax.numpy as jnp
 
 from ..core.config import SimConfig
-from ..core.state import FluidState, Sources, reference_init, zero_sources, zero_state
+from ..core.state import Sources, reference_init, zero_state
 
 __all__ = ["reference_square", "plume", "vortex_pair", "opposing_jets", "SCENARIOS"]
 

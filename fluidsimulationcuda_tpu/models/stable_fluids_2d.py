@@ -25,7 +25,6 @@ import jax.numpy as jnp
 from ..core.config import SimConfig
 from ..core.state import FluidState, Sources, zero_sources
 from ..kernels.dispatch import get_ops
-from ..ops.source import add_source
 
 __all__ = ["vel_step", "dens_step", "step", "make_step_fn", "simulate", "StableFluids2D"]
 

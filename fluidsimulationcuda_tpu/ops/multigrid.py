@@ -21,8 +21,6 @@ jit; n must be even down to the coarsest level used.
 """
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 
@@ -71,7 +69,7 @@ def _restrict(r: jnp.ndarray) -> jnp.ndarray:
     return embed_interior(0, 4.0 * coarse)
 
 
-def _prolong(e: jnp.ndarray, n_fine: int) -> jnp.ndarray:
+def _prolong(e: jnp.ndarray) -> jnp.ndarray:
     """Bilinear prolongation of a padded coarse correction to the fine grid
     (cell-centered 2x refinement: weights 9/3/3/1 over the padded coarse
     field, which the copy BC makes well-defined at the walls)."""
@@ -92,11 +90,10 @@ def _prolong(e: jnp.ndarray, n_fine: int) -> jnp.ndarray:
 
     cc = up2(c)
     # vertical neighbor: up for even fine rows, down for odd
-    vert = jnp.empty((2 * nc, nc), c.dtype)
     vert = up2(up).at[1::2, :].set(up2(down)[1::2, :])
     horiz = up2(left).at[:, 1::2].set(up2(right)[:, 1::2])
     # diagonal neighbor combines both choices
-    diag_u = up2(jnp.pad(ec, 0)[0:-2, 0:-2]).at[:, 1::2].set(
+    diag_u = up2(ec[0:-2, 0:-2]).at[:, 1::2].set(
         up2(ec[0:-2, 2:])[:, 1::2]
     )
     diag = diag_u.at[1::2, :].set(
@@ -124,7 +121,7 @@ def v_cycle(p, div, level: int, pre: int = 2, post: int = 2,
     r_c = _restrict(r)
     e_c = v_cycle(jnp.zeros_like(r_c), r_c, level - 1, pre, post,
                   coarse_sweeps)
-    p = embed_interior(0, p[1:-1, 1:-1] + _prolong(e_c, 0)[1:-1, 1:-1])
+    p = embed_interior(0, p[1:-1, 1:-1] + _prolong(e_c)[1:-1, 1:-1])
     return _smooth(p, div, post)
 
 

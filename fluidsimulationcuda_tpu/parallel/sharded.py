@@ -16,9 +16,10 @@ the reference quirk that a Jacobi initial guess contributes its *raw* ghost
 ring to the first sweep (sources have live border values,
 ``FluidSequential.c:244-271``).
 
-Advection all-gathers the advected field (the backtrace displacement is not
-halo-bounded: ``dt*n*|u|`` can span many cells, ``FluidSequential.c:111``);
-everything else moves one halo ring per sweep.
+Advection has two modes: "exact" all-gathers the advected field (the
+backtrace displacement is not halo-bounded, ``FluidSequential.c:111``);
+"windowed" exchanges a ``max_courant``-deep halo and clamps like the Pallas
+kernels.  Jacobi solves exchange K-deep halos once per K fused sweeps.
 """
 from __future__ import annotations
 
@@ -39,10 +40,6 @@ __all__ = ["make_sharded_step_fn", "shard_state"]
 # Local-block helpers (run inside shard_map; x is an (m, k) tile of the
 # padded global grid).
 # ---------------------------------------------------------------------------
-
-
-def _axis_size(axis: str) -> int:
-    return jax.lax.axis_size(axis)
 
 
 def _global_coords(x: jnp.ndarray):
