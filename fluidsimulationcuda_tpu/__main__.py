@@ -97,6 +97,26 @@ def cmd_profile(args) -> None:
     from .utils.timing import profile_phases
 
     cfg = _cfg(args)
+    if args.trace:
+        # jax.profiler trace around a few steps (viewable in TensorBoard /
+        # xprof) — the deep-dive companion to the phase table, standing in
+        # for the reference's external Nsight Compute workflow
+        # (document/main.tex:219).
+        from . import make_step_fn, reference_init, zero_sources
+
+        state, sources = reference_init(jax.random.key(args.seed), cfg)
+        step = make_step_fn(cfg)
+        zeros = zero_sources(cfg)
+        state = step(state, sources)
+        _ = float(state.dens.ravel()[0])
+        try:
+            with jax.profiler.trace(args.trace):
+                for _k in range(5):
+                    state = step(state, zeros)
+                _ = float(state.dens.ravel()[0])
+            print(f"trace written to {args.trace}", file=sys.stderr)
+        except Exception as e:  # tracing may be unsupported on relay backends
+            print(f"profiler trace unavailable: {e}", file=sys.stderr)
     report = profile_phases(cfg, jax.random.key(args.seed))
     print(report.pretty())
 
@@ -143,6 +163,8 @@ def main(argv=None) -> None:
 
     p = sub.add_parser("profile", help="per-phase timing report")
     _add_common(p)
+    p.add_argument("--trace", default=None,
+                   help="also write a jax.profiler trace to this directory")
     p.set_defaults(fn=cmd_profile)
 
     p = sub.add_parser("datagen", help="batched trajectory generation")
