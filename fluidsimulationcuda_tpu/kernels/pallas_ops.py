@@ -162,40 +162,72 @@ def _ceil8(x: int) -> int:
 
 
 def _jacobi_kernel(
-    x_hbm, rhs_hbm, out_ref, buf_a, buf_b, rhs_buf, sems,
+    x_hbm, rhs_hbm, out_ref, xs2, rhs2, buf_b, buf_c, sems,
     *, b: int, alpha: float, beta: float, sweeps: int,
     tm: int, wr: int, side: int, zero_init: bool, margin: int,
+    nstrips: int, total: int,
     src_dt: float | None = None,
 ):
     # Grid is (batch, strips): batched simulations are independent grids
     # stacked on a leading axis (unbatched arrays are reshaped to B=1).
+    # Input windows are double-buffered: while this strip sweeps, the next
+    # strip's x/rhs windows stream in (the DMA wait was ~25% of the kernel).
     bi = pl.program_id(0)
     gi = pl.program_id(1)
+    lin = bi * nstrips + gi
+    slot = jax.lax.rem(lin, 2)
+
+    def dmas(bi_, gi_, slot_):
+        r0_ = gi_ * tm
+        # margin is 8-aligned and >= sweeps+1, so offsets stay provably
+        # 8-aligned (a Mosaic requirement for sublane slices).
+        start_ = pl.multiple_of(jnp.clip(r0_ - margin, 0, side - wr), 8)
+        cps = [
+            pltpu.make_async_copy(
+                rhs_hbm.at[bi_, pl.ds(start_, wr), :], rhs2.at[slot_],
+                sems.at[slot_, 0],
+            )
+        ]
+        if not zero_init:
+            cps.append(
+                pltpu.make_async_copy(
+                    x_hbm.at[bi_, pl.ds(start_, wr), :], xs2.at[slot_],
+                    sems.at[slot_, 1],
+                )
+            )
+        return cps
+
+    @pl.when(lin == 0)
+    def _():
+        for cp in dmas(bi, gi, slot):
+            cp.start()
+
+    @pl.when(lin + 1 < total)
+    def _():
+        nlin = lin + 1
+        nbi = nlin // nstrips
+        ngi = jax.lax.rem(nlin, nstrips)
+        for cp in dmas(nbi, ngi, jax.lax.rem(nlin, 2)):
+            cp.start()
+
+    for cp in dmas(bi, gi, slot):
+        cp.wait()
+
     r0 = gi * tm
-    # margin is 8-aligned and >= sweeps+1, so r0 - start is always a
-    # multiple of 8 (Mosaic requires provably aligned sublane offsets).
     start = pl.multiple_of(jnp.clip(r0 - margin, 0, side - wr), 8)
-
-    rhs_cp = pltpu.make_async_copy(
-        rhs_hbm.at[bi, pl.ds(start, wr), :], rhs_buf, sems.at[0]
-    )
-    rhs_cp.start()
+    dt = buf_b.dtype
     if zero_init:
-        buf_a[:] = jnp.zeros((wr, side), buf_a.dtype)
+        buf_c[:] = jnp.zeros((wr, side), dt)
     else:
-        x_cp = pltpu.make_async_copy(
-            x_hbm.at[bi, pl.ds(start, wr), :], buf_a, sems.at[1]
-        )
-        x_cp.start()
-        x_cp.wait()
-    rhs_cp.wait()
-
-    dt = buf_a.dtype
+        buf_c[:] = xs2[slot]
+    rhs_buf = rhs2.at[slot]
     if src_dt is not None:
         # Fused add_source (FluidSequential.c:78-82): the source window is
         # already resident as the Jacobi guess, so rhs = base + dt*src costs
-        # one VMEM op and removes a whole XLA pass + HBM read.
-        rhs_buf[:] = rhs_buf[:] + jnp.asarray(src_dt, dt) * buf_a[:]
+        # one VMEM op and removes a whole XLA pass + HBM read.  The sum is
+        # staged in-place in the rhs slot (consumed before the slot is
+        # refilled two strips later).
+        rhs_buf[:] = rhs_buf[:] + jnp.asarray(src_dt, dt) * buf_c[:]
     a_c = jnp.asarray(alpha, dt)
     b_c = jnp.asarray(beta, dt)
 
@@ -219,17 +251,17 @@ def _jacobi_kernel(
         _apply_bnd_window(dst, b, start, wr, side, corners=False)
 
     def double_sweep(_, carry):
-        sweep(buf_a, buf_b)
-        sweep(buf_b, buf_a)
+        sweep(buf_c, buf_b)
+        sweep(buf_b, buf_c)
         return carry
 
     jax.lax.fori_loop(0, sweeps // 2, double_sweep, 0)
     if sweeps % 2:
-        sweep(buf_a, buf_b)
-        buf_a[:] = buf_b[:]
+        sweep(buf_c, buf_b)
+        buf_c[:] = buf_b[:]
 
     ob = out_ref.at[0]
-    ob[:] = buf_a[pl.ds(pl.multiple_of(r0 - start, 8), tm), :]
+    ob[:] = buf_c[pl.ds(pl.multiple_of(r0 - start, 8), tm), :]
     _apply_corners(ob, r0, tm, side)
 
 
@@ -285,19 +317,21 @@ def _fused_jacobi_call(b, x, x0, alpha, beta, sweeps, tm, side, zero_init,
         margin = _ceil8(sweeps + 1)
         wr = tm + 2 * margin
         assert wr <= side, "fused sweep window exceeds grid"
-    kernel = functools.partial(
-        _jacobi_kernel, b=b, alpha=alpha, beta=beta, sweeps=sweeps,
-        tm=tm, wr=wr, side=side, zero_init=zero_init, margin=margin,
-        src_dt=src_dt,
-    )
     squeeze = x0.ndim == 2
     if squeeze:
         x = x.reshape(1, side, side)
         x0 = x0.reshape(1, side, side)
     nb = x0.shape[0]
+    nstrips = side // tm
+    kernel = functools.partial(
+        _jacobi_kernel, b=b, alpha=alpha, beta=beta, sweeps=sweeps,
+        tm=tm, wr=wr, side=side, zero_init=zero_init, margin=margin,
+        nstrips=nstrips, total=nb * nstrips,
+        src_dt=src_dt,
+    )
     out = pl.pallas_call(
         kernel,
-        grid=(nb, side // tm),
+        grid=(nb, nstrips),
         out_shape=jax.ShapeDtypeStruct((nb, side, side), x0.dtype),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
@@ -306,10 +340,11 @@ def _fused_jacobi_call(b, x, x0, alpha, beta, sweeps, tm, side, zero_init,
         out_specs=pl.BlockSpec((1, tm, side), lambda bi, gi: (bi, gi, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
+            pltpu.VMEM((2, wr, side), x0.dtype),
+            pltpu.VMEM((2, wr, side), x0.dtype),
             pltpu.VMEM((wr, side), x0.dtype),
             pltpu.VMEM((wr, side), x0.dtype),
-            pltpu.VMEM((wr, side), x0.dtype),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2, 2)),
         ],
         interpret=INTERPRET,
         compiler_params=None if INTERPRET else _cparams(),
@@ -349,7 +384,7 @@ def _project_kernel(
     cu.wait()
     cv.wait()
 
-    dt = ubuf.dtype
+    dt = rhs_buf.dtype
     h = jnp.asarray(1.0, dt) / n
     half = jnp.asarray(0.5, dt)
 
@@ -440,20 +475,21 @@ def _fused_project_call(u, v, n, iters):
         if wr > side:
             # Small grid relative to iters: whole grid in one strip.
             tm, wr, margin = side, side, 0
-    kernel = functools.partial(
-        _project_kernel, n=n, iters=iters, tm=tm, wr=wr, side=side,
-        margin=margin,
-    )
     squeeze = u.ndim == 2
     if squeeze:
         u = u.reshape(1, side, side)
         v = v.reshape(1, side, side)
     nb = u.shape[0]
+    nstrips = side // tm
+    kernel = functools.partial(
+        _project_kernel, n=n, iters=iters, tm=tm, wr=wr, side=side,
+        margin=margin,
+    )
     blk = pl.BlockSpec((1, tm, side), lambda bi, gi: (bi, gi, 0),
                        memory_space=pltpu.VMEM)
     uo, vo = pl.pallas_call(
         kernel,
-        grid=(nb, side // tm),
+        grid=(nb, nstrips),
         out_shape=(
             jax.ShapeDtypeStruct((nb, side, side), u.dtype),
             jax.ShapeDtypeStruct((nb, side, side), u.dtype),
