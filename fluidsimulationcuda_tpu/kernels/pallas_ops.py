@@ -72,8 +72,10 @@ def _pick_tm(side: int) -> int | None:
     if 3 * side * side * 4 <= 10 * 2**20:
         return side
     budget_rows = _VMEM_BUDGET // (side * 4)
+    # 6 sweep windows (2x2 double-buffered inputs + 2 ping-pong) + out
+    # blocks; require room for at least an 8-row (7-sweep) fusion margin.
     for tm in (128, 256, 512, 64, 32):  # 128 pipelines best
-        if side % tm == 0 and 5 * tm + 160 <= budget_rows:
+        if side % tm == 0 and 8 * tm + 12 * 8 <= budget_rows:
             return tm
     return None
 
@@ -289,8 +291,11 @@ def fused_jacobi(
     first = True
     remaining = iters
     if tm != side:
-        # Fused window (tm + 2*ceil8(k+1) rows) must fit inside the grid.
+        # Fused window (tm + 2*ceil8(k+1) rows) must fit inside the grid
+        # AND the 6-window working set must fit VMEM.
         margin_cap = ((side - tm) // 2) // 8 * 8
+        vmem_margin = ((_VMEM_BUDGET // (side * 4) - 8 * tm) // 12) // 8 * 8
+        margin_cap = min(margin_cap, max(vmem_margin, 8))
         max_fused = max(1, min(max_fused, margin_cap - 1))
     while remaining > 0:
         k = min(remaining, max_fused)
