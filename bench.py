@@ -91,8 +91,11 @@ def main() -> None:
         for side_pow in range(5, 13):
             side = 2 ** side_pow
             cfg = SimConfig(n=side - 2, jacobi_iters=args.iters,
-                            backend=args.backend)
-            sec = bench_step(cfg, steps=max(3, min(20, 2 ** (22 - side_pow))))
+                            backend=args.backend, max_courant=args.cmax)
+            # small grids need long runs for the slope to rise above the
+            # relay's fixed sync-latency noise
+            steps = 400 if side <= 512 else (100 if side <= 2048 else 15)
+            sec = bench_step(cfg, steps=steps)
             mcells = cfg.num_cells / sec / 1e6
             print(
                 f"{side:>6}² ({cfg.num_cells:>10} cells): "

@@ -452,10 +452,10 @@ def fused_project_supported(side: int, iters: int) -> bool:
     if tm == side:
         return True
     margin = _ceil8(iters + 3)
-    while 5 * (tm + 2 * margin) * side * 4 > _VMEM_BUDGET and tm > 32:
+    while 7 * (tm + 2 * margin) * side * 4 > _VMEM_BUDGET and tm > 32:
         tm //= 2
     wr = tm + 2 * margin
-    return 5 * wr * side * 4 <= _VMEM_BUDGET and wr <= side
+    return 7 * wr * side * 4 <= _VMEM_BUDGET and wr <= side
 
 
 def fused_project(u, v, n: int, iters: int):
@@ -473,7 +473,7 @@ def _fused_project_call(u, v, n, iters):
         wr = side
     else:
         # 5 window buffers instead of 3: shrink the strip if needed.
-        while 5 * (tm + 2 * _ceil8(iters + 3)) * side * 4 > _VMEM_BUDGET and tm > 32:
+        while 7 * (tm + 2 * _ceil8(iters + 3)) * side * 4 > _VMEM_BUDGET and tm > 32:
             tm //= 2
         margin = _ceil8(iters + 3)
         wr = tm + 2 * margin
@@ -694,9 +694,12 @@ def _advect_call(bs, d0s, dt, n, cmax, self_adv, u, v):
     lpad = _LANE  # lane offset so +-cmax column slices stay in bounds
     wide = side + 2 * _LANE
     nstrips = side // tm
-    # Static row unroll keeps Mosaic stack ~ nshift x strip bytes; beyond
-    # ~0.3MB strips (wide grids) fall back to the dynamic-roll loop.
-    static_rows = (2 * cmax + 1) <= 9 and tm * side * 4 <= 288 * 1024
+    # Static row unroll keeps Mosaic stack ~ nshift^2 x strip bytes (the
+    # unrolled term chain); beyond small windows/strips fall back to the
+    # dynamic-roll fori loop (measured OOM at nshift=9, tm*side=32K rows).
+    static_rows = (
+        (2 * cmax + 1) <= 5 and tm * side * 4 <= 288 * 1024
+    )
     kernel = functools.partial(
         _advect_kernel, nf=nf, bs=bs, dt=dt, n=n, tm=tm, side=side,
         cmax=cmax, lpad=lpad, self_adv=self_adv, static_rows=static_rows,
