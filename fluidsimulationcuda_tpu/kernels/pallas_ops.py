@@ -67,9 +67,10 @@ def _pick_tm(side: int) -> int | None:
     (3 buffers x side^2 x 4B <= ~10MB); otherwise the largest strip whose
     working set (3 sweep buffers with ~margin-row windows + pipelined out
     blocks + Mosaic stack) stays within ~11MB of the 16MB VMEM."""
-    # Whole-grid single strip only for small grids; at large sizes strips
-    # win by pipelining DMA against compute.
-    if 3 * side * side * 4 <= 10 * 2**20:
+    # Whole-grid single strip only for small grids (6 double-buffered
+    # windows + ping-pong + outs must fit); at large sizes strips win by
+    # pipelining DMA against compute.
+    if 8 * side * side * 4 <= 10 * 2**20:
         return side
     budget_rows = _VMEM_BUDGET // (side * 4)
     # 6 sweep windows (2x2 double-buffered inputs + 2 ping-pong) + out
