@@ -169,7 +169,7 @@ def _jacobi_kernel(
     *, b: int, alpha: float, beta: float, sweeps: int,
     tm: int, wr: int, side: int, zero_init: bool, margin: int,
     nstrips: int, total: int,
-    src_dt: float | None = None,
+    src_dt: float | None = None, fast: bool = False,
 ):
     # Grid is (batch, strips): batched simulations are independent grids
     # stacked on a leading axis (unbatched arrays are reshaped to B=1).
@@ -224,14 +224,22 @@ def _jacobi_kernel(
     else:
         buf_c[:] = xs2[slot]
     rhs_buf = rhs2.at[slot]
+    inv_b = jnp.asarray(1.0 / beta, dt)
     if src_dt is not None:
         # Fused add_source (FluidSequential.c:78-82): the source window is
         # already resident as the Jacobi guess, so rhs = base + dt*src costs
         # one VMEM op and removes a whole XLA pass + HBM read.  The sum is
         # staged in-place in the rhs slot (consumed before the slot is
         # refilled two strips later).
-        rhs_buf[:] = rhs_buf[:] + jnp.asarray(src_dt, dt) * buf_c[:]
+        src_term = jnp.asarray(src_dt, dt) * buf_c[:]
+        if fast:
+            rhs_buf[:] = (rhs_buf[:] + src_term) * inv_b
+        else:
+            rhs_buf[:] = rhs_buf[:] + src_term
+    elif fast:
+        rhs_buf[:] = rhs_buf[:] * inv_b
     a_c = jnp.asarray(alpha, dt)
+    ab_c = jnp.asarray(alpha / beta, dt)
     b_c = jnp.asarray(beta, dt)
 
     def sweep(src, dst):
@@ -248,7 +256,12 @@ def _jacobi_kernel(
         sU = pltpu.roll(s, 1, 0)
         sD = pltpu.roll(s, wr - 1, 0)
         neigh = ((sL + sR) + sU) + sD
-        dst[:] = (rhs_buf[:] + a_c * neigh) / b_c
+        if fast:
+            # rhs pre-scaled by 1/beta; one FMA instead of add+div.
+            # ~1 ulp/sweep from the reference expression (opt-in).
+            dst[:] = rhs_buf[:] + ab_c * neigh
+        else:
+            dst[:] = (rhs_buf[:] + a_c * neigh) / b_c
         # Corners deferred to the output epilogue: they are never stencil
         # inputs and the per-sweep 1x1 stores dominate the kernel otherwise.
         _apply_bnd_window(dst, b, start, wr, side, corners=False)
@@ -279,6 +292,7 @@ def fused_jacobi(
     zero_init: bool = False,
     max_fused: int = 20,
     src_dt: float | None = None,
+    fast: bool = False,
 ) -> jnp.ndarray:
     """``iters`` Jacobi sweeps (semantics of ``ops.diffuse``) with up to
     ``max_fused`` sweeps per HBM round-trip.  ``zero_init`` skips loading the
@@ -304,6 +318,7 @@ def fused_jacobi(
             b, x, x0, float(alpha), float(beta), k, tm, side,
             zero_init and first,
             float(src_dt) if (src_dt is not None and first) else None,
+            fast,
         )
         first = False
         remaining -= k
@@ -312,10 +327,10 @@ def fused_jacobi(
 
 @functools.partial(
     jax.jit, static_argnames=("b", "alpha", "beta", "sweeps", "tm", "side",
-                              "zero_init", "src_dt")
+                              "zero_init", "src_dt", "fast")
 )
 def _fused_jacobi_call(b, x, x0, alpha, beta, sweeps, tm, side, zero_init,
-                       src_dt=None):
+                       src_dt=None, fast=False):
     if tm == side:
         wr = side  # whole grid in one window; margin condition is vacuous
         margin = 0
@@ -333,7 +348,7 @@ def _fused_jacobi_call(b, x, x0, alpha, beta, sweeps, tm, side, zero_init,
         _jacobi_kernel, b=b, alpha=alpha, beta=beta, sweeps=sweeps,
         tm=tm, wr=wr, side=side, zero_init=zero_init, margin=margin,
         nstrips=nstrips, total=nb * nstrips,
-        src_dt=src_dt,
+        src_dt=src_dt, fast=fast,
     )
     out = pl.pallas_call(
         kernel,
@@ -595,21 +610,22 @@ def _advect_kernel(
         # small: static sublane slices of wbuf replace dynamic rolls of the
         # whole window (the rolls moved ~7x more VMEM data than the slices).
         def row_body(a_idx, rows):
+            # Iteratively lane-roll the window so every corner read is a
+            # lane-ALIGNED slice (lpad is a multiple of 128); unaligned lane
+            # slices cost a relayout per read.  q is rolled so that
+            # q[:, lpad + c] == rows[:, lpad + c + (bbi - cmax)].
             v00, v01, v10, v11 = g00[:], g01[:], g10[:], g11[:]
+            wide_ = rows.shape[-1]
+            q = pltpu.roll(rows, cmax, 1)  # lane c reads c - cmax
             for bbi in range(nshift):
                 t = a_idx * nshift + bbi
-                coff = lpad + bbi - cmax  # static
                 m = key == t
-                v00 = jnp.where(m, rows[0:tm, coff : coff + side], v00)
-                v01 = jnp.where(
-                    m, rows[0:tm, coff + 1 : coff + 1 + side], v01
-                )
-                v10 = jnp.where(
-                    m, rows[1 : tm + 1, coff : coff + side], v10
-                )
-                v11 = jnp.where(
-                    m, rows[1 : tm + 1, coff + 1 : coff + 1 + side], v11
-                )
+                qn = pltpu.roll(q, wide_ - 1, 1)  # next shift (+1 lane src)
+                v00 = jnp.where(m, q[0:tm, lpad : lpad + side], v00)
+                v01 = jnp.where(m, qn[0:tm, lpad : lpad + side], v01)
+                v10 = jnp.where(m, q[1 : tm + 1, lpad : lpad + side], v10)
+                v11 = jnp.where(m, qn[1 : tm + 1, lpad : lpad + side], v11)
+                q = qn
             g00[:] = v00
             g01[:] = v01
             g10[:] = v10
@@ -911,17 +927,20 @@ def make_opset(cfg: SimConfig) -> OpSet:
         )
     cmax = getattr(cfg, "max_courant", 4)
     fuse = cfg.fuse_sweeps or 20
+    fast = cfg.fast_math
 
     def diffuse(b, x_init, x0, alpha, beta, iters):
-        return fused_jacobi(b, x_init, x0, alpha, beta, iters, max_fused=fuse)
+        return fused_jacobi(b, x_init, x0, alpha, beta, iters,
+                            max_fused=fuse, fast=fast)
 
     def diffuse_src(b, src, base, alpha, beta, iters, dt):
         if iters <= fuse:
             # single chunk: add_source fused into the kernel's rhs
             return fused_jacobi(b, src, base, alpha, beta, iters,
-                                max_fused=fuse, src_dt=dt)
+                                max_fused=fuse, src_dt=dt, fast=fast)
         rhs = base + jnp.asarray(dt, base.dtype) * src
-        return fused_jacobi(b, src, rhs, alpha, beta, iters, max_fused=fuse)
+        return fused_jacobi(b, src, rhs, alpha, beta, iters,
+                            max_fused=fuse, fast=fast)
 
     def advect(b, d0, u, v, dt, n):
         return advect_shift(b, d0, u, v, dt, n, cmax=cmax)

@@ -182,3 +182,13 @@ def test_windowed_equals_exact_when_inside(strip_mode):
     a = ops.advect(0, d0, u, v, 0.016, n)
     b = ops.advect_windowed(0, d0, u, v, 0.016, n, cmax=4)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-6)
+
+
+def test_fast_math_close_to_exact(strip_mode):
+    side = 64
+    x, x0 = _grid(30, side), _grid(31, side)
+    exact = pallas_ops.fused_jacobi(1, x, x0, 0.42, 2.68, 20)
+    fast = pallas_ops.fused_jacobi(1, x, x0, 0.42, 2.68, 20, fast=True)
+    np.testing.assert_allclose(
+        np.asarray(fast), np.asarray(exact), rtol=1e-4, atol=1e-5
+    )
