@@ -24,7 +24,7 @@ def save_density_png(path: str, dens, title: str = "density") -> str:
     plt = _plt()
     arr = np.asarray(dens)
     fig, ax = plt.subplots(figsize=(6, 6), dpi=120)
-    im = ax.imshow(arr, origin="lower", cmap="magma")
+    im = ax.imshow(arr, origin="upper", cmap="magma")
     ax.set_title(title)
     ax.set_xticks([])
     ax.set_yticks([])
@@ -43,7 +43,7 @@ def save_velocity_png(path: str, u, v, stride: int = 0,
     stride = stride or max(1, n // 48)
     speed = np.hypot(uu, vv)
     fig, ax = plt.subplots(figsize=(6, 6), dpi=120)
-    im = ax.imshow(speed, origin="lower", cmap="viridis")
+    im = ax.imshow(speed, origin="upper", cmap="viridis")
     ys, xs = np.mgrid[0:n:stride, 0:n:stride]
     ax.quiver(xs, ys, uu[::stride, ::stride], vv[::stride, ::stride],
               color="white", scale_units="xy", angles="xy", width=0.002)
