@@ -89,7 +89,12 @@ class PhaseReport:
             ("full step (est)", self.step_estimate),
         ]
         out = "\n".join(f"{k:22s} {v * 1e3:9.3f} ms" for k, v in rows)
-        return out + f"\n{'throughput':22s} {self.mcells_per_s:9.1f} Mcell/s"
+        out += f"\n{'throughput (op-sum)':22s} {self.mcells_per_s:9.1f} Mcell/s"
+        return out + (
+            "\nnote: per-op slopes under ~0.1 ms are noise-dominated on the"
+            "\nremote relay; `python bench.py` measures the composed step"
+            "\ndirectly and is authoritative."
+        )
 
 
 def profile_phases(cfg: SimConfig, key=None) -> PhaseReport:
