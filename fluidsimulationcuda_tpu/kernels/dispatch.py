@@ -81,10 +81,29 @@ def _pallas_supported(cfg: SimConfig) -> bool:
     return pallas_ops.supports(cfg)
 
 
+_WARNED_DECLINED: set = set()
+
+
 def get_ops(cfg: SimConfig) -> OpSet:
     backend = cfg.backend
     if backend == "auto":
-        backend = "pallas" if (_on_tpu() and _pallas_supported(cfg)) else "reference"
+        on_tpu = _on_tpu()
+        ok = on_tpu and _pallas_supported(cfg)
+        if on_tpu and not ok and (cfg.n, cfg.ndim) not in _WARNED_DECLINED:
+            # The jnp path is ~80x slower on TPU; a silent fallback at the
+            # headline backend would misread as a perf regression.
+            import warnings
+
+            _WARNED_DECLINED.add((cfg.n, cfg.ndim))
+            warnings.warn(
+                f"backend='auto' on TPU fell back to the reference (jnp) ops "
+                f"for side={cfg.n + 2}, ndim={cfg.ndim}, dtype={cfg.dtype}: "
+                f"the pallas kernels need ndim=2, float32, side >= 128 and "
+                f"side % 8 == 0 (pick n = multiple-of-8 minus 2). Expect "
+                f"~80x lower throughput on this path.",
+                stacklevel=2,
+            )
+        backend = "pallas" if ok else "reference"
     if backend == "reference":
         mode = cfg.advect_mode
         if mode == "auto":

@@ -81,17 +81,35 @@ def _pick_tm(side: int) -> int | None:
     return None
 
 
+def _advect_tm(side: int, nf: int, cap: int = None) -> int | None:
+    """Viable advection strip height, or None.  Mirrors the selection in
+    ``_advect_call``: the strip must divide ``side`` and its blocked windows
+    + accumulators + Mosaic stack must fit the VMEM budget."""
+    rows_per_tm = 36 if nf == 1 else 50
+    for cand in ((_ADVECT_TM if cap is None else cap), 128, 64, 32, 16, 8):
+        if side % cand == 0 and rows_per_tm * cand * side * 4 <= _VMEM_BUDGET:
+            return cand
+    return None
+
+
 def supports(cfg: SimConfig) -> bool:
     # side >= 128: full lane tiles (smaller grids trip Mosaic's (1,128)
     # tiling on column slices, and XLA handles them fine anyway).  f32 only:
     # the 8-row margins/strips assume (8,128) tiling (bf16 needs 16-row).
+    # side % 8 == 0: every kernel's strip heights and sublane margins are
+    # 8-aligned; an 8-divisible side also guarantees the advect/halo1 strip
+    # searches find a divisor (cand=8 always viable within budget).
     import jax.numpy as jnp
     side = cfg.n + 2
     return (
         cfg.ndim == 2
         and side >= 128
+        and side % 8 == 0
         and cfg.dtype == jnp.float32
         and _pick_tm(side) is not None
+        # nf=2 (pair advection) needs no gate: make_opset falls back to two
+        # single advects when the fused pair has no viable strip (8192^2).
+        and _advect_tm(side, 1) is not None
     )
 
 
@@ -698,14 +716,8 @@ def _advect_call(bs, d0s, dt, n, cmax, self_adv, u, v):
     # Strip height bounded by VMEM (blocked windows + accumulators + Mosaic
     # stack all scale with tm x nf x side); ~19/26 full-width rows of live
     # data per output row, empirically calibrated against the 16MB limit.
-    rows_per_tm = 36 if nf == 1 else 50  # calibrated vs Mosaic stack usage
-    cap = _ADVECT_TM
-    budget = _VMEM_BUDGET
-    for cand in (cap, 128, 64, 32, 16, 8):
-        if side % cand == 0 and rows_per_tm * cand * side * 4 <= budget:
-            tm = cand
-            break
-    else:
+    tm = _advect_tm(side, nf)
+    if tm is None:
         raise ValueError(f"advect: no viable strip height for side={side}")
     assert cmax + 1 <= tm
     lpad = _LANE  # lane offset so +-cmax column slices stay in bounds

@@ -74,11 +74,7 @@ def generate_trajectories(
     """
     state, sources = batched_init(key, cfg, batch)
     runner = _trajectory_runner(cfg, num_steps, snapshot_every)
-    final, snaps = runner(state, sources)
-    if snapshot_every:
-        snaps = snaps[snapshot_every - 1 :: snapshot_every]
-        return final, snaps
-    return final, None
+    return runner(state, sources)
 
 
 @functools.lru_cache(maxsize=16)
@@ -95,21 +91,44 @@ def _trajectory_runner(cfg: SimConfig, num_steps: int, snapshot_every: int):
     def run(state, sources):
         zeros = jax.tree.map(jnp.zeros_like, sources)
 
-        def body(carry, k):
-            st = carry
-            src = jax.tree.map(
+        def src_at(k):
+            return jax.tree.map(
                 lambda s, z: jnp.where(k == 0, s, z), sources, zeros
             )
-            st = vstep(st, src)
-            if snapshot_every:
-                snap = jax.lax.cond(
-                    (k + 1) % snapshot_every == 0,
-                    lambda: st.dens,
-                    lambda: jnp.zeros_like(st.dens),
-                )
-                return st, snap
-            return st, None
 
-        return jax.lax.scan(body, state, jnp.arange(num_steps))
+        if not snapshot_every:
+            def body(carry, k):
+                return vstep(carry, src_at(k)), None
+
+            final, _ = jax.lax.scan(body, state, jnp.arange(num_steps))
+            return final, None
+
+        # Snapshots accumulate into a (num_snaps, ...) carry buffer via
+        # dynamic_update_slice — peak memory scales with num_snaps, not
+        # num_steps (a per-step stacked scan output would be prohibitive
+        # for long runs: 1024 sims x 256^2 x 1000 steps ~ 270 GB).
+        num_snaps = num_steps // snapshot_every
+        buf0 = jnp.zeros(
+            (max(num_snaps, 1),) + state.dens.shape, state.dens.dtype
+        )
+
+        def body(carry, k):
+            st, buf = carry
+            st = vstep(st, src_at(k))
+            idx = (k + 1) // snapshot_every - 1
+            buf = jax.lax.cond(
+                ((k + 1) % snapshot_every == 0) & (idx < num_snaps),
+                lambda b: jax.lax.dynamic_update_slice(
+                    b, st.dens[None], (idx,) + (0,) * st.dens.ndim
+                ),
+                lambda b: b,
+                buf,
+            )
+            return (st, buf), None
+
+        (final, buf), _ = jax.lax.scan(
+            body, (state, buf0), jnp.arange(num_steps)
+        )
+        return final, buf[:num_snaps]
 
     return run

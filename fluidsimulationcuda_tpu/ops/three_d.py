@@ -8,9 +8,11 @@ nothing to cite:
 - boundary modes b: 0 copy, 1 flip at x walls (u), 2 flip at y walls (v),
   3 flip at z walls (w);
 - ghost layer is derived from the interior: faces mirror the adjacent
-  interior cell (sign per mode), edges average their 2 adjacent faces,
-  corners average their 3 — the 3-D analogue of ``set_bnd``
-  (``FluidSequential.c:62-75``);
+  interior cell (sign per mode), edges average their 2 adjacent face cells,
+  corners average their 3 adjacent *edge* cells (set in the previous phase;
+  the cascaded order mirrors the 2-D corner rule reading just-updated edge
+  ghosts) — the 3-D analogue of ``set_bnd`` (``FluidSequential.c:62-75``).
+  Neither edges nor corners are ever stencil inputs;
 - diffusion: ``alpha = dt*k*n²``, ``beta = 1 + 6*alpha`` (6 neighbors);
   pressure: alpha=1, beta=6;
 - advection: backtrace clamped to ``[0.5, n+0.5]`` per axis, trilinear
@@ -80,9 +82,10 @@ def embed_interior3(b: int, interior: jnp.ndarray) -> jnp.ndarray:
         src_hi = [slice(None)] * 3
         src_hi[axis] = -2
         x = x.at[tuple(idx_hi)].set(sign * x[tuple(src_hi)])
-    # Edges (two ghost coords) and corners (three): average of the adjacent
-    # already-set face values.  Set edges from faces, then corners from
-    # edges' faces — equivalent to averaging the 2 / 3 adjacent face cells.
+    # Edges (two ghost coords) average their 2 adjacent face cells; corners
+    # (three ghost coords) then average their 3 adjacent just-set EDGE cells
+    # (cascaded, like the 2-D corners reading updated edge ghosts).  Neither
+    # is ever a stencil input, so only the face values affect the solution.
     half = jnp.asarray(0.5, dt)
     third = jnp.asarray(1.0 / 3.0, dt)
     n2 = x.shape[0]

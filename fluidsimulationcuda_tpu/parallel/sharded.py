@@ -403,6 +403,18 @@ def make_sharded_step_fn(
         raise ValueError(
             f"grid side {side} not divisible by mesh shape ({px}, {py})"
         )
+    if advect_mode == "windowed":
+        # _advect_local_windowed exchanges (max_courant+1)-deep halos; a
+        # shard must own at least that many rows/cols or the x[-K:] slices
+        # silently shorten and fail at trace time with an opaque shape error.
+        K = cfg.max_courant + 1
+        if side // px < K or side // py < K:
+            raise ValueError(
+                f"windowed advection needs >= {K} rows/cols per shard "
+                f"(max_courant={cfg.max_courant}); got "
+                f"({side // px}, {side // py}) on mesh ({px}, {py}). "
+                f"Use advect_mode='exact' or a coarser mesh."
+            )
 
     spec = P("x", "y")
     state_specs = FluidState(dens=spec, u=spec, v=spec, w=None)

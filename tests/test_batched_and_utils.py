@@ -123,3 +123,60 @@ def test_batched_pallas_kernels_match_vmapped_reference():
             )
     finally:
         pallas_ops.INTERPRET = prev_interpret
+
+
+def test_generate_trajectories_snapshot_cadence_non_multiple():
+    """num_steps not a multiple of snapshot_every: floor(num/every) snaps."""
+    cfg = SimConfig(n=14, jacobi_iters=4, backend="reference")
+    final, snaps = generate_trajectories(
+        jax.random.key(6), cfg, batch=2, num_steps=7, snapshot_every=3
+    )
+    assert snaps.shape == (2, 2, 16, 16)  # steps 3 and 6
+    assert np.isfinite(np.asarray(snaps)).all()
+
+
+def test_checkpoint_forward_compat_config_fields(tmp_path):
+    """A checkpoint with unknown/missing config keys still loads (schema
+    tolerance): unknown keys dropped, missing keys defaulted."""
+    import json
+
+    cfg = SimConfig(n=14, jacobi_iters=4, backend="reference")
+    state, _ = reference_init(jax.random.key(7), cfg)
+    p = str(tmp_path / "ck.npz")
+    save_checkpoint(p, state, cfg, step=3)
+
+    # Rewrite the meta to simulate a checkpoint from a different build:
+    # one unknown key added, one current key removed.
+    with np.load(p) as z:
+        payload = {k: z[k] for k in z.files}
+    meta = json.loads(bytes(payload["_meta"]).decode())
+    meta["config"]["some_future_field"] = 42
+    del meta["config"]["fast_math"]
+    payload["_meta"] = np.frombuffer(
+        json.dumps(meta).encode(), dtype=np.uint8
+    )
+    np.savez_compressed(p, **payload)
+
+    state2, cfg2, step2 = load_checkpoint(p)
+    assert step2 == 3
+    assert cfg2.n == 14 and cfg2.fast_math is False
+    np.testing.assert_array_equal(np.asarray(state.dens), np.asarray(state2.dens))
+
+
+def test_checkpoint_newer_schema_rejected(tmp_path):
+    import json
+
+    cfg = SimConfig(n=14, jacobi_iters=4, backend="reference")
+    state, _ = reference_init(jax.random.key(8), cfg)
+    p = str(tmp_path / "ck.npz")
+    save_checkpoint(p, state, cfg)
+    with np.load(p) as z:
+        payload = {k: z[k] for k in z.files}
+    meta = json.loads(bytes(payload["_meta"]).decode())
+    meta["version"] = 999
+    payload["_meta"] = np.frombuffer(
+        json.dumps(meta).encode(), dtype=np.uint8
+    )
+    np.savez_compressed(p, **payload)
+    with pytest.raises(ValueError, match="schema version"):
+        load_checkpoint(p)

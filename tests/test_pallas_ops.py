@@ -192,3 +192,15 @@ def test_fast_math_close_to_exact(strip_mode):
     np.testing.assert_allclose(
         np.asarray(fast), np.asarray(exact), rtol=1e-4, atol=1e-5
     )
+
+
+def test_supports_rejects_non_8_divisible_side():
+    """side % 8 != 0 has no viable advect strip; supports() must gate it
+    so backend='auto' falls back instead of raising mid-step."""
+    from fluidsimulationcuda_tpu.kernels import pallas_ops as po
+    from fluidsimulationcuda_tpu import SimConfig
+
+    assert not po.supports(SimConfig(n=256))   # side 258
+    assert po.supports(SimConfig(n=254))       # side 256
+    assert po.supports(SimConfig(n=2046))      # side 2048 (headline)
+    assert po.supports(SimConfig(n=8190))      # side 8192 (reference config)

@@ -112,3 +112,13 @@ def test_sharded_step_windowed_mode_runs():
     step = make_sharded_step_fn(cfg, mesh, advect_mode="windowed")
     out = step(shard_state(state, mesh), shard_state(sources, mesh))
     assert np.isfinite(np.asarray(out.dens)).all()
+
+
+def test_sharded_windowed_rejects_too_small_shards():
+    """Windowed advection needs >= max_courant+1 rows/cols per shard."""
+    devs = jax.devices()[:4]
+    mesh = make_mesh(devs)  # 2x2
+    # side=8 over a 2x2 mesh -> 4 rows per shard < max_courant+1 = 5
+    cfg = SimConfig(n=6, jacobi_iters=2, backend="reference", max_courant=4)
+    with pytest.raises(ValueError, match="windowed advection"):
+        make_sharded_step_fn(cfg, mesh, advect_mode="windowed")
