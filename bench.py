@@ -48,6 +48,22 @@ def _run(step_fn, state, zeros, steps) -> float:
     return time.perf_counter() - t0
 
 
+def max_displacement_cells(cfg: SimConfig, state) -> float:
+    """Largest semi-Lagrangian backtrace displacement (cells) in a state —
+    the advection gather window is exact while this stays <= cmax - 1
+    (clamp semantics: ``FluidSequential.c:117-127``).  Audits the headline's
+    exact-regime claim instead of assuming it."""
+    import jax.numpy as jnp
+
+    dt0 = cfg.dt * cfg.n
+
+    @jax.jit
+    def _m(u, v):
+        return jnp.maximum(jnp.abs(u).max(), jnp.abs(v).max()) * dt0
+
+    return float(_m(state.u, state.v))
+
+
 def bench_step(cfg: SimConfig, steps: int, warmup: int = 3) -> float:
     """Marginal seconds per step, steady state with zero sources (the
     reference's 50-step averaged loop,
@@ -62,13 +78,16 @@ def bench_step(cfg: SimConfig, steps: int, warmup: int = 3) -> float:
     step_fn = make_step_fn(cfg)
 
     state = step_fn(state, sources)  # source-injection step + compile
+    disp = max_displacement_cells(cfg, state)
     for _ in range(warmup):
         state = step_fn(state, zeros)
     _ = float(state.dens.ravel()[0])
+    disp = max(disp, max_displacement_cells(cfg, state))
 
     short = max(2, steps // 5)
     t_short = min(_run(step_fn, state, zeros, short) for _ in range(2))
     t_long = min(_run(step_fn, state, zeros, steps) for _ in range(2))
+    bench_step.last_max_displacement = disp
     return max((t_long - t_short) / (steps - short), 1e-9)
 
 
@@ -108,13 +127,19 @@ def main() -> None:
                     max_courant=args.cmax)
     sec = bench_step(cfg, steps=args.steps)
     mcells = cfg.num_cells / sec / 1e6
-    print(f"{sec * 1e3:.3f} ms/step at {cfg.n + 2}², {args.iters} Jacobi iters",
+    disp = getattr(bench_step, "last_max_displacement", float("nan"))
+    exact = disp <= args.cmax - 1
+    print(f"{sec * 1e3:.3f} ms/step at {cfg.n + 2}², {args.iters} Jacobi iters; "
+          f"max backtrace displacement {disp:.3f} cells "
+          f"({'exact' if exact else 'CLAMPED'} regime for cmax={args.cmax})",
           file=sys.stderr)
     print(json.dumps({
         "metric": f"full-step throughput @ {cfg.n + 2}^2, {args.iters} Jacobi iters, advect window +-{args.cmax}",
         "value": round(mcells, 1),
         "unit": "Mcell-updates/s",
         "vs_baseline": round(mcells / BASELINE_MCELLS_PER_S, 2),
+        "max_displacement_cells": round(disp, 3),
+        "advect_exact_regime": bool(exact),
     }))
 
 

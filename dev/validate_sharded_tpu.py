@@ -1,0 +1,63 @@
+"""On-TPU validation of the sharded-pallas path (compiled Mosaic).
+
+1×1-mesh shard_map pallas step vs the unsharded pallas step at the headline
+config: parity (windowed semantics on both sides) and throughput ratio.
+Run on the real chip: ``python dev/validate_sharded_tpu.py [n] [iters]``.
+"""
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+import jax
+
+from fluidsimulationcuda_tpu import SimConfig, reference_init
+from fluidsimulationcuda_tpu.models.stable_fluids_2d import make_step_fn
+from fluidsimulationcuda_tpu.parallel.mesh import make_mesh
+from fluidsimulationcuda_tpu.parallel.sharded import (
+    make_sharded_step_fn,
+    shard_state,
+)
+from fluidsimulationcuda_tpu.utils.cache import enable_compilation_cache
+from fluidsimulationcuda_tpu.utils.timing import wallclock
+
+
+def main():
+    enable_compilation_cache()
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 2046
+    iters = int(sys.argv[2]) if len(sys.argv) > 2 else 20
+    cfg = SimConfig(n=n, jacobi_iters=iters, backend="pallas",
+                    advect_mode="windowed")
+    mesh = make_mesh(jax.devices()[:1], shape=(1, 1))
+    state, sources = reference_init(jax.random.key(0), cfg)
+
+    base = make_step_fn(cfg)
+    out_b = base(state, sources)
+    jax.block_until_ready(out_b)
+
+    sst, ssrc = shard_state(state, mesh), shard_state(sources, mesh)
+    sh = make_sharded_step_fn(cfg, mesh, advect_mode="windowed",
+                              shard_backend="pallas")
+    out_s = sh(sst, ssrc)
+    jax.block_until_ready(out_s)
+
+    for name in ("dens", "u", "v"):
+        a = np.asarray(getattr(out_b, name))
+        b = np.asarray(getattr(out_s, name))
+        d = np.abs(a - b).max()
+        print(f"parity {name}: max|d| = {d:.3e}  (finite={np.isfinite(b).all()})")
+
+    t_base = wallclock(base, state, sources, reps=3, chain=8)
+    t_sh = wallclock(sh, sst, ssrc, reps=3, chain=8)
+    cells = (n + 2) ** 2
+    print(f"unsharded pallas: {t_base*1e3:.2f} ms/step "
+          f"({cells/t_base/1e6:.0f} Mcell/s)")
+    print(f"1x1 shard_map pallas: {t_sh*1e3:.2f} ms/step "
+          f"({cells/t_sh/1e6:.0f} Mcell/s)")
+    print(f"ratio: {t_base/t_sh*100:.1f}% of unsharded throughput")
+
+
+if __name__ == "__main__":
+    main()

@@ -58,6 +58,126 @@ def parity_100_steps():
           dd < 1e-5 and du < 1e-5, f"dens {dd:.2e} u {du:.2e}")
 
 
+def compiled_differential(n=2046, iters=20):
+    """Per-kernel compiled-Mosaic vs jnp differential at full size: strip
+    seams, random inputs, the whole clamped-displacement range, fused
+    projection, batched leading dim, fast_math, and the sharded slab path.
+
+    This lane exists because interpret-mode CI cannot see Mosaic lowering
+    bugs: it caught compiled ``pltpu.roll`` mis-rotating NEGATIVE dynamic
+    sublane shifts (advect terms with di > 0 read one block off — silent
+    wrong values, exactly the class VERDICT r1 #6 predicted)."""
+    import jax.numpy as jnp
+
+    from fluidsimulationcuda_tpu.kernels import pallas_ops as po
+    from fluidsimulationcuda_tpu.kernels import pallas_sharded as ps
+    from fluidsimulationcuda_tpu.ops.advect import advect_windowed
+    from fluidsimulationcuda_tpu.ops.diffuse import diffuse as diffuse_ref
+    from fluidsimulationcuda_tpu.ops.project import (
+        apply_pressure_gradient as apg_ref,
+        divergence as div_ref,
+        pressure_solve as psolve_ref,
+    )
+
+    side = n + 2
+    m = side
+    cmax = 4
+    rng = np.random.default_rng(7)
+
+    def rnd():
+        return jnp.asarray(rng.uniform(-1, 1, (side, side)).astype(np.float32))
+
+    u, v, x0 = rnd(), rnd(), rnd()
+    dt = 0.016
+    flags = jnp.array([1, 1, 0], jnp.int32)
+
+    def maxd(a, b):
+        return float(jnp.abs(a - b).max())
+
+    # Jacobi (strip seams at full size), incl. zero-init pressure path.
+    alpha, beta = 0.5, 3.0
+    ref = diffuse_ref(1, u, x0, alpha, beta, iters)
+    d = maxd(po.fused_jacobi(1, u, x0, alpha, beta, iters), ref)
+    check("diff jacobi compiled vs jnp", d < 1e-5, f"{d:.2e}")
+    refp = psolve_ref(x0, iters)
+    d = maxd(po.fused_jacobi(0, x0, x0, 1.0, 4.0, iters, zero_init=True), refp)
+    check("diff pressure compiled vs jnp", d < 1e-5, f"{d:.2e}")
+
+    # Divergence / gradient.
+    d = maxd(po.divergence_p(u, v, n), div_ref(u, v, n))
+    check("diff divergence compiled vs jnp", d == 0.0, f"{d:.2e}")
+    ru, rv = apg_ref(u, v, x0, n)
+    gu, gv = po.gradient_p(u, v, x0, n)
+    d = max(maxd(gu, ru), maxd(gv, rv))
+    check("diff gradient compiled vs jnp", d == 0.0, f"{d:.2e}")
+
+    # Fused projection kernel vs unfused jnp composition.
+    pu, pv = po.fused_project(u, v, n, iters)
+    div = div_ref(u, v, n)
+    p = psolve_ref(div, iters)
+    ju, jv = apg_ref(u, v, p, n)
+    d = max(maxd(pu, ju), maxd(pv, jv))
+    check("diff fused projection compiled vs jnp", d < 1e-5, f"{d:.2e}")
+
+    # Advection: random velocities exercise every masked-shift term and the
+    # clamp boundaries; plus a constant-displacement sweep over the window.
+    refa = advect_windowed(0, x0, u, v, dt, n, cmax)
+    d = maxd(po.advect_shift(0, x0, u, v, dt, n, cmax=cmax), refa)
+    check("diff advect (random vel) compiled vs jnp", d == 0.0, f"{d:.2e}")
+    au, av = po.advect_shift_fused((1, 2), (u, v), u, v, dt, n, cmax=cmax,
+                                   self_advect=True)
+    d = max(maxd(au, advect_windowed(1, u, u, v, dt, n, cmax)),
+            maxd(av, advect_windowed(2, v, u, v, dt, n, cmax)))
+    check("diff advect pair compiled vs jnp", d == 0.0, f"{d:.2e}")
+    dt0 = dt * n
+    worst = 0.0
+    for dx, dy in [(0.0, 4.4), (0.0, -4.4), (4.4, 0.0), (-4.4, 0.0),
+                   (2.5, -1.5), (-2.5, 1.5), (16.0, 16.0), (0.7, 0.7)]:
+        uc = jnp.full((side, side), np.float32(-dx / dt0))
+        vc = jnp.full((side, side), np.float32(-dy / dt0))
+        worst = max(worst, maxd(
+            po.advect_shift(0, x0, uc, vc, dt, n, cmax=cmax),
+            advect_windowed(0, x0, uc, vc, dt, n, cmax)))
+    check("diff advect displacement sweep", worst == 0.0, f"{worst:.2e}")
+
+    # Batched leading dim (datagen path).
+    ub = jnp.stack([u, v, x0])
+    x0b = jnp.stack([x0, u, v])
+    refb = jnp.stack([diffuse_ref(0, ub[i], x0b[i], alpha, beta, 8)
+                      for i in range(3)])
+    d = maxd(po.fused_jacobi(0, ub, x0b, alpha, beta, 8), refb)
+    check("diff batched jacobi compiled vs jnp", d < 1e-5, f"{d:.2e}")
+
+    # fast_math mode: rhs pre-scaled — bounded drift, finite.
+    f = po.fused_jacobi(1, u, x0, alpha, beta, iters, fast=True)
+    d = maxd(f, ref)
+    check("diff fast_math jacobi bounded", d < 1e-2 and bool(jnp.isfinite(f).all()),
+          f"{d:.2e}")
+
+    # Sharded slab kernels (1x1 mesh semantics, zero halos, wall flags).
+    K = 24
+    z24 = jnp.zeros((K, side), jnp.float32)
+    h8 = jnp.zeros((8, side), jnp.float32)
+    ext = lambda a: jnp.concatenate([z24, a, z24])
+    d = maxd(ps.fused_jacobi_slab(1, ext(u), ext(x0), flags, m=m, K=K,
+                                  alpha=alpha, beta=beta, sweeps=iters), ref)
+    check("diff slab jacobi compiled vs jnp", d < 1e-5, f"{d:.2e}")
+    d = maxd(ps.divergence_slab(u, v, h8, h8, flags, n), div)
+    check("diff slab divergence compiled vs jnp", d == 0.0, f"{d:.2e}")
+    su, sv = ps.gradient_slab(u, v, x0, h8, h8, flags, n)
+    d = max(maxd(su, ru), maxd(sv, rv))
+    check("diff slab gradient compiled vs jnp", d == 0.0, f"{d:.2e}")
+    tm = ps.advect_slab_tm(m, side, 1)
+    C = cmax + 1
+    zc = jnp.zeros((C, side), jnp.float32)
+    zp = jnp.zeros((tm - C, side), jnp.float32)
+    de = jnp.concatenate([zp, zc, x0, zc, zp])
+    (sa,) = ps.advect_slab((0,), (de,), u, v, flags, dt=dt, n=n, cmax=cmax,
+                           m=m, self_adv=False)
+    d = maxd(sa, refa)
+    check("diff slab advect compiled vs jnp", d == 0.0, f"{d:.2e}")
+
+
 def perf_point(n, iters, cmax, expect_ms, steps=100):
     cfg = SimConfig(n=n, jacobi_iters=iters, backend="pallas",
                     max_courant=cmax)
@@ -90,6 +210,7 @@ def main():
 
     assert jax.default_backend() == "tpu", "run on a TPU"
     parity_100_steps()
+    compiled_differential()
     perf_point(2046, 20, 2, expect_ms=6.0)
     if args.full:
         perf_point(8190, 40, 2, expect_ms=200.0, steps=15)

@@ -41,7 +41,7 @@ def _add_common(p):
                    help="the reference's alpha = dt*diff*n^2 scaling makes "
                         "large grids hyper-diffusive; lower for demos")
     p.add_argument("--pressure-solver", default="jacobi",
-                   choices=["jacobi", "multigrid"])
+                   choices=["jacobi", "multigrid", "cg"])
 
 
 def _cfg(args):

@@ -43,11 +43,14 @@ class SimConfig:
       fuse_sweeps: how many Jacobi sweeps the Pallas kernel performs per
         HBM round-trip (halo depth of the VMEM tiles).  0 = auto-tune from
         ``n`` and ``jacobi_iters``.
-      pressure_solver: "jacobi" (reference-parity, ``jacobi_iters`` sweeps)
-        or "multigrid" (``mg_cycles`` V-cycles — the reference's own stated
+      pressure_solver: "jacobi" (reference-parity, ``jacobi_iters`` sweeps),
+        "multigrid" (``mg_cycles`` V-cycles — the reference's own stated
         future work, ``document/main.tex:356``; mesh-independent convergence,
-        non-parity numerics; requires even interior sizes for coarsening).
+        non-parity numerics; requires even interior sizes for coarsening),
+        or "cg" (conjugate gradient, the other named future-work solver:
+        ``cg_iters`` iterations, O(n) convergence, non-parity numerics).
       mg_cycles: V-cycles per pressure solve in multigrid mode.
+      cg_iters: CG iterations per pressure solve in cg mode.
       fast_math: Pallas Jacobi rewrites ``(rhs + a*neigh)/beta`` as
         ``rhs/beta + (a/beta)*neigh`` (reciprocal precomputed once per
         solve): ~15-20%% fewer VPU ops, numerics differ by ~1 ulp/sweep from
@@ -77,6 +80,7 @@ class SimConfig:
     max_courant: int = 4
     pressure_solver: str = "jacobi"
     mg_cycles: int = 2
+    cg_iters: int = 20
     advect_mode: str = "auto"
     fast_math: bool = False
     ndim: int = 2
@@ -88,7 +92,7 @@ class SimConfig:
             raise ValueError("jacobi_iters must be >= 1")
         if self.backend not in ("reference", "pallas", "auto"):
             raise ValueError(f"unknown backend {self.backend!r}")
-        if self.pressure_solver not in ("jacobi", "multigrid"):
+        if self.pressure_solver not in ("jacobi", "multigrid", "cg"):
             raise ValueError(f"unknown pressure_solver {self.pressure_solver!r}")
         if self.advect_mode not in ("auto", "exact", "windowed"):
             raise ValueError(f"unknown advect_mode {self.advect_mode!r}")

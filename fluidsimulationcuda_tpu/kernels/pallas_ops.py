@@ -655,8 +655,12 @@ def _advect_kernel(
                 row_body(a_idx, wbuf[tm + a : 2 * tm + 1 + a, :])
         else:
             def row_term(a_idx, carry):
-                a = a_idx - cmax
-                q = pltpu.roll(wbuf[0:h3, :], -a, 0)
+                # Want roll by -(a_idx - cmax); compiled Mosaic mis-rotates
+                # NEGATIVE dynamic sublane shifts (reads land one block off,
+                # verified on hardware with a row-index tracer field), so
+                # normalize into [0, h3) first: (-a) mod h3.
+                shift = jax.lax.rem(h3 + cmax - a_idx, h3)
+                q = pltpu.roll(wbuf[0:h3, :], shift, 0)
                 row_body(a_idx, q[tm : 2 * tm + 1, :])
                 return carry
 

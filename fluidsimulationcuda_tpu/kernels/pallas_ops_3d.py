@@ -1,0 +1,589 @@
+"""Fused Pallas TPU kernels for the 3-D solver (smoke volumes).
+
+Layout: volumes are (side, side, side) float32, index [z, y, x] — (y, x) are
+the TPU (sublane, lane) dims, z is the leading dim.  Kernels tile over
+*z-plane strips*: every window holds full (y, x) planes, so the x/y ghost
+faces live inside each window and are re-derived per sweep (the 3-D
+generalization of the 2-D kernels' full-width row strips,
+``pallas_ops.py``); only z needs halo margins.  The leading dim has no
+Mosaic alignment constraints, so z windows use exact ``sweeps+1`` margins
+and dynamic plane indexing — no 8-alignment gymnastics.
+
+Spec: ``ops/three_d.py`` (the jnp oracle; itself the Stam generalization of
+``FluidSequential.c:85-141``).  Kernels compute interiors + the faces each
+sweep needs; callers re-derive the full ghost layer (faces/edges/corners)
+with ``ops.three_d.set_bnd3``, so outputs match the jnp ops exactly.
+
+Advection: the 2-D masked-shift gather generalized per output plane — the
+(2C+1) z-shift candidates loop OUTSIDE, each running the 2-D (2C+1)^2
+masked-shift gather on its plane pair with the combined mask
+``(dk == dz) & (key_xy == t)``.  Note the tempting "select the plane pair
+first, then xy-shift it" factorization is WRONG: shifting a z-selected
+plane reads positions whose z-choice was the *neighbor's* ``dk``, not this
+cell's (staged gathers do not compose across per-cell indices).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from . import pallas_ops
+from .pallas_ops import _VMEM_BUDGET, _LANE, _cparams
+
+__all__ = [
+    "supports3",
+    "fused_jacobi3",
+    "advect3_shift",
+    "divergence3_p",
+    "gradient3_p",
+]
+
+
+def _interpret() -> bool:
+    return pallas_ops.INTERPRET
+
+
+_SIGN_AXIS = {1: 2, 2: 1, 3: 0}  # boundary mode -> flipped axis (z,y,x)
+
+
+def _signs3(b: int):
+    ax = _SIGN_AXIS.get(b)
+    return (
+        -1.0 if ax == 2 else 1.0,  # x faces
+        -1.0 if ax == 1 else 1.0,  # y faces
+        -1.0 if ax == 0 else 1.0,  # z faces
+    )
+
+
+def _plane_bytes(side: int) -> int:
+    return side * side * 4
+
+
+def _jacobi3_plan(side: int, max_fused: int):
+    """(tz, K): z-strip height and sweeps per HBM round-trip such that the
+    6-buffer working set fits VMEM.  Returns (None, None) if impossible."""
+    pb = _plane_bytes(side)
+    budget_planes = _VMEM_BUDGET // pb
+    for tz in (16, 8, 32, 4, 2, 1):
+        if side % tz:
+            continue
+        # 6 windows (2x2 double-buffered in + 2 ping-pong) of wz planes
+        # + 1 out block of tz planes.
+        for K in range(max_fused, 0, -1):
+            wz = tz + 2 * (K + 1)
+            if wz <= side and 6 * wz + tz <= budget_planes:
+                return tz, K
+    return None, None
+
+
+def supports3(side: int) -> bool:
+    if _interpret():
+        return True
+    tz, _ = _jacobi3_plan(side, 1)
+    return side >= 128 and side % 8 == 0 and tz is not None
+
+
+# ---------------------------------------------------------------------------
+# Fused-sweep 6-neighbor Jacobi
+# ---------------------------------------------------------------------------
+
+
+def _jacobi3_kernel(
+    x_hbm, rhs_hbm, out_ref, xs2, rhs2, buf_b, buf_c, sems,
+    *, b: int, alpha: float, beta: float, sweeps: int,
+    tz: int, wz: int, side: int, zero_init: bool, zm: int, nstrips: int,
+    fast: bool,
+):
+    gi = pl.program_id(0)
+    slot = jax.lax.rem(gi, 2)
+
+    def dmas(gi_, slot_):
+        start_ = jnp.clip(gi_ * tz - zm, 0, side - wz)
+        cps = [
+            pltpu.make_async_copy(
+                rhs_hbm.at[pl.ds(start_, wz)], rhs2.at[slot_],
+                sems.at[slot_, 0],
+            )
+        ]
+        if not zero_init:
+            cps.append(
+                pltpu.make_async_copy(
+                    x_hbm.at[pl.ds(start_, wz)], xs2.at[slot_],
+                    sems.at[slot_, 1],
+                )
+            )
+        return cps
+
+    @pl.when(gi == 0)
+    def _():
+        for cp in dmas(gi, slot):
+            cp.start()
+
+    @pl.when(gi + 1 < nstrips)
+    def _():
+        for cp in dmas(gi + 1, jax.lax.rem(gi + 1, 2)):
+            cp.start()
+
+    for cp in dmas(gi, slot):
+        cp.wait()
+
+    start = jnp.clip(gi * tz - zm, 0, side - wz)
+    dt = buf_b.dtype
+    if zero_init:
+        buf_c[:] = jnp.zeros((wz, side, side), dt)
+    else:
+        buf_c[:] = xs2[slot]
+    rhs_buf = rhs2.at[slot]
+    if fast:
+        rhs_buf[:] = rhs_buf[:] * jnp.asarray(1.0 / beta, dt)
+    a_c = jnp.asarray(alpha, dt)
+    ab_c = jnp.asarray(alpha / beta, dt)
+    b_c = jnp.asarray(beta, dt)
+    sxf, syf, szf = _signs3(b)
+    sx = jnp.asarray(sxf, dt)
+    sy = jnp.asarray(syf, dt)
+    sz = jnp.asarray(szf, dt)
+
+    def bc(dst):
+        # x/y ghost faces: whole window (full planes resident) — the 3-D
+        # analogue of the 2-D kernels' in-strip ghost columns.  Same values
+        # as ops.three_d.embed_faces3 at face-interior cells; edge/corner
+        # cells differ by pass order but are never stencil inputs.
+        dst[:, :, 0:1] = sx * dst[:, :, 1:2]
+        dst[:, :, side - 1 : side] = sx * dst[:, :, side - 2 : side - 1]
+        dst[:, 0:1, :] = sy * dst[:, 1:2, :]
+        dst[:, side - 1 : side, :] = sy * dst[:, side - 2 : side - 1, :]
+
+        # z ghost faces, when this window covers them.
+        @pl.when(start == 0)
+        def _():
+            dst[0:1] = sz * dst[1:2]
+
+        @pl.when(start + wz == side)
+        def _():
+            dst[wz - 1 : wz] = sz * dst[wz - 2 : wz - 1]
+
+    def sweep(src, dst):
+        s = src[:]
+        sL = pltpu.roll(s, 1, 2)
+        sR = pltpu.roll(s, side - 1, 2)
+        sU = pltpu.roll(s, 1, 1)
+        sD = pltpu.roll(s, side - 1, 1)
+        # z neighbors via shifted concat (leading dim: plain plane copies).
+        # Duplicated edge planes are garbage the zm margin absorbs.
+        sF = jnp.concatenate([s[:1], s[:-1]], axis=0)
+        sB = jnp.concatenate([s[1:], s[-1:]], axis=0)
+        neigh = ((sL + sR) + (sU + sD)) + (sF + sB)
+        if fast:
+            dst[:] = rhs_buf[:] + ab_c * neigh
+        else:
+            dst[:] = (rhs_buf[:] + a_c * neigh) / b_c
+        bc(dst)
+
+    def double_sweep(_, carry):
+        sweep(buf_c, buf_b)
+        sweep(buf_b, buf_c)
+        return carry
+
+    jax.lax.fori_loop(0, sweeps // 2, double_sweep, 0)
+    if sweeps % 2:
+        sweep(buf_c, buf_b)
+        buf_c[:] = buf_b[:]
+
+    off = gi * tz - start  # dynamic, leading dim: no alignment constraint
+    out_ref[:] = buf_c[pl.ds(off, tz)]
+
+
+def fused_jacobi3(
+    b: int,
+    x_init: jnp.ndarray,
+    x0: jnp.ndarray,
+    alpha: float,
+    beta: float,
+    iters: int,
+    *,
+    zero_init: bool = False,
+    max_fused: int = 10,
+    fast: bool = False,
+) -> jnp.ndarray:
+    """``iters`` 6-neighbor Jacobi sweeps (semantics of
+    ``ops.three_d.diffuse3`` minus the final full ghost-layer derivation —
+    call ``set_bnd3`` on the result)."""
+    side = x0.shape[-1]
+    tz, K = _jacobi3_plan(side, min(max_fused, iters))
+    assert tz is not None, f"unsupported 3-D side {side}"
+    x = x_init
+    first = True
+    remaining = iters
+    while remaining > 0:
+        s = min(remaining, K)
+        x = _fused_jacobi3_call(
+            b, x, x0, float(alpha), float(beta), s, tz, side,
+            zero_init and first, fast,
+        )
+        first = False
+        remaining -= s
+    return x
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("b", "alpha", "beta", "sweeps", "tz", "side",
+                     "zero_init", "fast"),
+)
+def _fused_jacobi3_call(b, x, x0, alpha, beta, sweeps, tz, side, zero_init,
+                        fast):
+    zm = sweeps + 1
+    wz = tz + 2 * zm
+    assert wz <= side, "fused 3-D window exceeds volume"
+    nstrips = side // tz
+    kernel = functools.partial(
+        _jacobi3_kernel, b=b, alpha=alpha, beta=beta, sweeps=sweeps,
+        tz=tz, wz=wz, side=side, zero_init=zero_init, zm=zm,
+        nstrips=nstrips, fast=fast,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(nstrips,),
+        out_shape=jax.ShapeDtypeStruct((side, side, side), x0.dtype),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((tz, side, side), lambda gi: (gi, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, wz, side, side), x0.dtype),
+            pltpu.VMEM((2, wz, side, side), x0.dtype),
+            pltpu.VMEM((wz, side, side), x0.dtype),
+            pltpu.VMEM((wz, side, side), x0.dtype),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ],
+        interpret=_interpret(),
+        compiler_params=None if _interpret() else _cparams(),
+    )(x, x0)
+
+
+# ---------------------------------------------------------------------------
+# Windowed trilinear advection (two-stage factorized gather)
+# ---------------------------------------------------------------------------
+
+
+def _advect3_plan(side: int, nf: int, cmax: int):
+    """z-strip height for the advect kernel: window wz = tz + 2*(cmax+1)
+    planes per field + velocity strips + plane scratch must fit VMEM."""
+    pb = _plane_bytes(side)
+    budget_planes = _VMEM_BUDGET // pb
+    C = cmax + 1
+    for tz in (8, 16, 4, 2, 1):
+        if side % tz:
+            continue
+        wz = tz + 2 * C
+        # nf field windows + 3 velocity strips + out strips + ~14 plane
+        # temporaries (pbufs, corner accumulators, coords).
+        if wz <= side and nf * wz + 3 * tz + nf * tz + 16 <= budget_planes:
+            return tz
+    return None
+
+
+def _advect3_kernel(
+    *refs,
+    nf: int, bs: tuple, dt: float, n: int, tz: int, wz: int, side: int,
+    cmax: int, lpad: int, self_adv: bool, nstrips: int,
+):
+    # Arg layout: nf field volumes (ANY) | u, v, w strips (unless self_adv:
+    # the first three fields ARE the velocities) | nf out strips |
+    # scratch: nf field windows, pbuf0, pbuf1, sems.
+    fields = refs[:nf]
+    idx = nf
+    if self_adv:
+        u_ref, v_ref, w_ref = None, None, None  # read from windows below
+    else:
+        u_ref, v_ref, w_ref = refs[idx : idx + 3]
+        idx += 3
+    out_refs = refs[idx : idx + nf]
+    wins = refs[idx + nf : idx + 2 * nf]
+    pbuf0, pbuf1 = refs[idx + 2 * nf : idx + 2 * nf + 2]
+    sems = refs[-1]
+
+    gi = pl.program_id(0)
+    C = cmax + 1
+    start = jnp.clip(gi * tz - C, 0, side - wz)
+    base = gi * tz - start  # window plane of this strip's first out plane
+
+    for f in range(nf):
+        pltpu.make_async_copy(
+            fields[f].at[pl.ds(start, wz)], wins[f], sems.at[f]
+        ).start()
+    for f in range(nf):
+        pltpu.make_async_copy(
+            fields[f].at[pl.ds(start, wz)], wins[f], sems.at[f]
+        ).wait()
+
+    dtype = wins[0].dtype
+    dt0 = jnp.asarray(dt, dtype) * n
+    nsh = 2 * cmax + 1
+    one = jnp.asarray(1.0, dtype)
+    lo = jnp.asarray(0.5, dtype)
+    hi = jnp.asarray(n + 0.5, dtype)
+    H = side + 8  # pbuf rows: plane + padding so the j0+1 row slice exists
+
+    gy = jax.lax.broadcasted_iota(jnp.int32, (side, side), 0)
+    gx = jax.lax.broadcasted_iota(jnp.int32, (side, side), 1)
+    gyf = gy.astype(dtype)
+    gxf = gx.astype(dtype)
+
+    def plane(ref, z):
+        return ref[pl.ds(z, 1)][0]
+
+    def out_plane(zo, carry):
+        zw = base + zo  # window plane index of out plane zo
+        if self_adv:
+            up = plane(wins[0], zw)
+            vp = plane(wins[1], zw)
+            wp = plane(wins[2], zw)
+        else:
+            up = plane(u_ref, zo)
+            vp = plane(v_ref, zo)
+            wp = plane(w_ref, zo)
+        gz = (start + zw).astype(jnp.int32)  # global z of this plane
+        gzf = gz.astype(dtype)
+
+        x = gxf - dt0 * up
+        y = gyf - dt0 * vp
+        z = gzf - dt0 * wp
+        x = jnp.clip(jnp.clip(x, lo, hi), gxf - cmax, gxf + cmax)
+        y = jnp.clip(jnp.clip(y, lo, hi), gyf - cmax, gyf + cmax)
+        z = jnp.clip(jnp.clip(z, lo, hi), gzf - cmax, gzf + cmax)
+        i0 = x.astype(jnp.int32)
+        j0 = y.astype(jnp.int32)
+        k0 = z.astype(jnp.int32)
+        fx = x - i0.astype(dtype)
+        fy = y - j0.astype(dtype)
+        fz = z - k0.astype(dtype)
+        dk = k0 - gz
+        key_xy = (j0 - gy + cmax) * nsh + (i0 - gx + cmax)
+
+        for f in range(nf):
+            win = wins[f]
+            zero = jnp.zeros((side, side), dtype)
+            c000 = c001 = c010 = c011 = zero
+            c100 = c101 = c110 = c111 = zero
+            # dz loop OUTSIDE (composition-safe): each z candidate's plane
+            # pair goes through the 2-D masked-shift gather (lane-padded
+            # staging + iterative lane rolls keep every read lane-aligned)
+            # under the combined mask (dk == dz) & (key_xy == t).
+            for dz in range(-cmax, cmax + 1):
+                mz = dk == dz
+                pbuf0[0:side, lpad : lpad + side] = plane(win, zw + dz)
+                pbuf1[0:side, lpad : lpad + side] = plane(win, zw + dz + 1)
+                for dj in range(-cmax, cmax + 1):
+                    q0 = pltpu.roll(pbuf0[:], H - dj if dj > 0 else -dj, 0)
+                    q1 = pltpu.roll(pbuf1[:], H - dj if dj > 0 else -dj, 0)
+                    q0 = pltpu.roll(q0, cmax, 1)  # lane c reads c - cmax
+                    q1 = pltpu.roll(q1, cmax, 1)
+                    wide_ = q0.shape[-1]
+                    for di_idx in range(nsh):
+                        t = (dj + cmax) * nsh + di_idx
+                        mk = mz & (key_xy == t)
+                        q0n = pltpu.roll(q0, wide_ - 1, 1)
+                        q1n = pltpu.roll(q1, wide_ - 1, 1)
+                        sl = lambda q, r: q[r : r + side, lpad : lpad + side]
+                        c000 = jnp.where(mk, sl(q0, 0), c000)
+                        c001 = jnp.where(mk, sl(q0n, 0), c001)
+                        c010 = jnp.where(mk, sl(q0, 1), c010)
+                        c011 = jnp.where(mk, sl(q0n, 1), c011)
+                        c100 = jnp.where(mk, sl(q1, 0), c100)
+                        c101 = jnp.where(mk, sl(q1n, 0), c101)
+                        c110 = jnp.where(mk, sl(q1, 1), c110)
+                        c111 = jnp.where(mk, sl(q1n, 1), c111)
+                        q0, q1 = q0n, q1n
+
+            # Trilinear blend in the jnp ops' exact expression order
+            # (ops/three_d.py advect3_windowed).
+            interior = (
+                (one - fz) * (
+                    (one - fy) * ((one - fx) * c000 + fx * c001)
+                    + fy * ((one - fx) * c010 + fx * c011)
+                )
+                + fz * (
+                    (one - fy) * ((one - fx) * c100 + fx * c101)
+                    + fy * ((one - fx) * c110 + fx * c111)
+                )
+            )
+            out_refs[f][pl.ds(zo, 1)] = interior[None]
+        return carry
+
+    jax.lax.fori_loop(0, tz, out_plane, 0)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("bs", "dt", "n", "cmax", "self_adv")
+)
+def _advect3_call(bs, d0s, dt, n, cmax, self_adv, u, v, w):
+    nf = len(d0s)
+    side = n + 2
+    tz = _advect3_plan(side, nf, cmax)
+    if tz is None:
+        raise ValueError(f"advect3: no viable z-strip for side={side}")
+    C = cmax + 1
+    wz = tz + 2 * C
+    nstrips = side // tz
+    lpad = _LANE
+    kernel = functools.partial(
+        _advect3_kernel, nf=nf, bs=tuple(bs), dt=dt, n=n, tz=tz, wz=wz,
+        side=side, cmax=cmax, lpad=lpad, self_adv=self_adv,
+        nstrips=nstrips,
+    )
+    sblk = pl.BlockSpec((tz, side, side), lambda gi: (gi, 0, 0),
+                        memory_space=pltpu.VMEM)
+    in_specs = [pl.BlockSpec(memory_space=pl.ANY)] * nf
+    operands = list(d0s)
+    if not self_adv:
+        in_specs += [sblk, sblk, sblk]
+        operands += [u, v, w]
+    dtype = d0s[0].dtype
+    out = pl.pallas_call(
+        kernel,
+        grid=(nstrips,),
+        out_shape=tuple(
+            jax.ShapeDtypeStruct((side, side, side), dtype)
+            for _ in range(nf)
+        ),
+        in_specs=in_specs,
+        out_specs=tuple(sblk for _ in range(nf)),
+        scratch_shapes=[pltpu.VMEM((wz, side, side), dtype) for _ in range(nf)]
+        + [
+            pltpu.VMEM((side + 8, side + 2 * _LANE), dtype),
+            pltpu.VMEM((side + 8, side + 2 * _LANE), dtype),
+            pltpu.SemaphoreType.DMA((nf,)),
+        ],
+        interpret=_interpret(),
+        compiler_params=None if _interpret() else _cparams(),
+    )(*operands)
+    return out if isinstance(out, tuple) else (out,)
+
+
+def advect3_shift(b, d0, u, v, w, dt, n, *, cmax=2):
+    """Windowed trilinear advection (semantics of
+    ``ops.three_d.advect3_windowed`` minus the final ghost layer — call
+    ``set_bnd3`` on the result)."""
+    return _advect3_call((b,), (d0,), float(dt), n, cmax, False, u, v, w)[0]
+
+
+def advect3_shift_fused(bs, d0s, u, v, w, dt, n, *, cmax=2,
+                        self_advect=False):
+    """Advect several fields by one velocity in a single kernel (shared
+    backtrace, z-selects and masks).  ``self_advect`` marks (u, v, w)
+    self-advection — the fields are the velocities, saving 3 input strips."""
+    return _advect3_call(
+        tuple(bs), tuple(d0s), float(dt), n, cmax, self_advect, u, v, w
+    )
+
+
+# ---------------------------------------------------------------------------
+# Divergence / pressure gradient (1-halo z stencils)
+# ---------------------------------------------------------------------------
+
+
+def _halo1_specs3(side: int):
+    pb = _plane_bytes(side)
+    for tz in (8, 16, 4, 2, 1):
+        # ~12 strips of tz planes live at once (3-shifted inputs + outs).
+        if side % tz == 0 and 14 * tz * pb <= _VMEM_BUDGET:
+            break
+    else:
+        raise ValueError(f"no viable 3-D strip for side={side}")
+    nstrips = side // tz
+
+    def blk(shift):
+        if shift == 0:
+            return pl.BlockSpec((tz, side, side), lambda gi: (gi, 0, 0),
+                                memory_space=pltpu.VMEM)
+        if shift < 0:
+            return pl.BlockSpec(
+                (tz, side, side),
+                lambda gi: (jnp.maximum(gi - 1, 0), 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+        return pl.BlockSpec(
+            (tz, side, side),
+            lambda gi: (jnp.minimum(gi + 1, nstrips - 1), 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+
+    return tz, blk
+
+
+def _zshifted(m1, c0, p1):
+    """Plane-shifted views of the center strip using neighbor strips;
+    wall strips get duplicated planes (garbage, ghost output discarded)."""
+    cc = c0[:]
+    zlo = jnp.concatenate([m1[-1:], cc[:-1]], axis=0)  # plane z-1
+    zhi = jnp.concatenate([cc[1:], p1[:1]], axis=0)    # plane z+1
+    return cc, zlo, zhi
+
+
+def _divergence3_kernel(u_c, v_c, w_m1, w_c, w_p1, out_ref,
+                        *, n: int, side: int):
+    dt = out_ref.dtype
+    h = jnp.asarray(1.0, dt) / n
+    uu = u_c[:]
+    vv = v_c[:]
+    du = pltpu.roll(uu, side - 1, 2) - pltpu.roll(uu, 1, 2)
+    dv = pltpu.roll(vv, side - 1, 1) - pltpu.roll(vv, 1, 1)
+    _, w_lo, w_hi = _zshifted(w_m1, w_c, w_p1)
+    out_ref[:] = (jnp.asarray(-0.5, dt) * h) * ((du + dv) + (w_hi - w_lo))
+
+
+def _gradient3_kernel(p_m1, p_c, p_p1, u_c, v_c, w_c, uo, vo, wo,
+                      *, n: int, side: int):
+    dt = uo.dtype
+    h = jnp.asarray(1.0, dt) / n
+    half = jnp.asarray(0.5, dt)
+    pc, p_lo, p_hi = _zshifted(p_m1, p_c, p_p1)
+    dpx = pltpu.roll(pc, side - 1, 2) - pltpu.roll(pc, 1, 2)
+    dpy = pltpu.roll(pc, side - 1, 1) - pltpu.roll(pc, 1, 1)
+    uo[:] = u_c[:] - (half * dpx) / h
+    vo[:] = v_c[:] - (half * dpy) / h
+    wo[:] = w_c[:] - (half * (p_hi - p_lo)) / h
+
+
+@functools.partial(jax.jit, static_argnames=("n",))
+def divergence3_p(u, v, w, n):
+    """Divergence (interior exact; ghost layer via ``set_bnd3``)."""
+    side = n + 2
+    tz, blk = _halo1_specs3(side)
+    kernel = functools.partial(_divergence3_kernel, n=n, side=side)
+    return pl.pallas_call(
+        kernel,
+        grid=(side // tz,),
+        out_shape=jax.ShapeDtypeStruct((side, side, side), u.dtype),
+        in_specs=[blk(0), blk(0), blk(-1), blk(0), blk(+1)],
+        out_specs=blk(0),
+        interpret=_interpret(),
+        compiler_params=None if _interpret() else _cparams(),
+    )(u, v, w, w, w)
+
+
+@functools.partial(jax.jit, static_argnames=("n",))
+def gradient3_p(u, v, w, p, n):
+    side = n + 2
+    tz, blk = _halo1_specs3(side)
+    kernel = functools.partial(_gradient3_kernel, n=n, side=side)
+    return pl.pallas_call(
+        kernel,
+        grid=(side // tz,),
+        out_shape=tuple(
+            jax.ShapeDtypeStruct((side, side, side), u.dtype)
+            for _ in range(3)
+        ),
+        in_specs=[blk(-1), blk(0), blk(+1), blk(0), blk(0), blk(0)],
+        out_specs=(blk(0), blk(0), blk(0)),
+        interpret=_interpret(),
+        compiler_params=None if _interpret() else _cparams(),
+    )(p, p, p, u, v, w)

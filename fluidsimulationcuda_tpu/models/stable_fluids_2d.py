@@ -47,6 +47,13 @@ def vel_step(
             div = ops.divergence(u, v, cfg.n)
             p = mg_pressure_solve(div, cycles=cfg.mg_cycles)
             return ops.apply_pressure_gradient(u, v, p, cfg.n)
+    elif cfg.pressure_solver == "cg":
+        from ..ops.cg import cg_pressure_solve
+
+        def _project(u, v):
+            div = ops.divergence(u, v, cfg.n)
+            p = cg_pressure_solve(div, iters=cfg.cg_iters)
+            return ops.apply_pressure_gradient(u, v, p, cfg.n)
     else:
         def _project(u, v):
             return ops.project(u, v, cfg.n, cfg.jacobi_iters)

@@ -21,48 +21,115 @@ from ..ops import three_d as o3
 __all__ = ["vel_step3", "dens_step3", "step3", "make_step_fn_3d", "StableFluids3D"]
 
 
-def _advect3(cfg: SimConfig):
-    """Gather strategy: exact XLA gather off-TPU; masked-shift window on TPU
-    (XLA TPU gathers lower serially — see kernels/pallas_ops.py)."""
+def _use_pallas3(cfg: SimConfig) -> bool:
     import jax
+    import jax.numpy as jnp
 
-    if jax.default_backend() == "tpu":
-        def f(b, d0, u, v, w):
+    from ..kernels import pallas_ops, pallas_ops_3d
+
+    if cfg.dtype != jnp.float32:
+        return False
+    if cfg.backend == "pallas":
+        return True
+    return (
+        cfg.backend == "auto"
+        and not pallas_ops.INTERPRET
+        and jax.default_backend() == "tpu"
+        and pallas_ops_3d.supports3(cfg.n + 2)
+    )
+
+
+class _Ops3:
+    """3-D op dispatch: jnp (reference) vs fused Pallas volume kernels.
+    Pallas kernels return interiors+faces; ``set_bnd3`` rebuilds the full
+    ghost layer so outputs are bit-compatible with the jnp ops."""
+
+    def __init__(self, cfg: SimConfig):
+        self.cfg = cfg
+        self.pallas = _use_pallas3(cfg)
+
+    def diffuse(self, b, x_init, x0, alpha, beta, iters):
+        if self.pallas:
+            from ..kernels import pallas_ops_3d as k3
+
+            return o3.set_bnd3(
+                b, k3.fused_jacobi3(b, x_init, x0, alpha, beta, iters,
+                                    fast=self.cfg.fast_math)
+            )
+        return o3.diffuse3(b, x_init, x0, alpha, beta, iters)
+
+    def advect(self, b, d0, u, v, w):
+        cfg = self.cfg
+        if self.pallas:
+            from ..kernels import pallas_ops_3d as k3
+
+            return o3.set_bnd3(
+                b, k3.advect3_shift(b, d0, u, v, w, cfg.dt, cfg.n,
+                                    cmax=cfg.max_courant)
+            )
+        import jax
+
+        if jax.default_backend() == "tpu":
             return o3.advect3_windowed(b, d0, u, v, w, cfg.dt, cfg.n,
                                        cmax=cfg.max_courant)
-        return f
-
-    def f(b, d0, u, v, w):
         return o3.advect3(b, d0, u, v, w, cfg.dt, cfg.n)
 
-    return f
+    def advect_self(self, u, v, w):
+        cfg = self.cfg
+        if self.pallas:
+            from ..kernels import pallas_ops_3d as k3
+
+            try:
+                au, av, aw = k3.advect3_shift_fused(
+                    (1, 2, 3), (u, v, w), u, v, w, cfg.dt, cfg.n,
+                    cmax=cfg.max_courant, self_advect=True,
+                )
+                return (o3.set_bnd3(1, au), o3.set_bnd3(2, av),
+                        o3.set_bnd3(3, aw))
+            except ValueError:  # no viable fused strip: three singles
+                pass
+        return (self.advect(1, u, u, v, w), self.advect(2, v, u, v, w),
+                self.advect(3, w, u, v, w))
+
+    def project(self, u, v, w, iters):
+        cfg = self.cfg
+        if self.pallas:
+            from ..kernels import pallas_ops_3d as k3
+
+            div = o3.set_bnd3(0, k3.divergence3_p(u, v, w, cfg.n))
+            p = o3.set_bnd3(
+                0, k3.fused_jacobi3(0, div, div, 1.0, 6.0, iters,
+                                    zero_init=True)
+            )
+            gu, gv, gw = k3.gradient3_p(u, v, w, p, cfg.n)
+            return (o3.set_bnd3(1, gu), o3.set_bnd3(2, gv),
+                    o3.set_bnd3(3, gw))
+        return o3.project3(u, v, w, cfg.n, iters)
 
 
 def vel_step3(cfg: SimConfig, u, v, w, u_src, v_src, w_src):
+    ops = _Ops3(cfg)
     u = add_source(u, u_src, cfg.dt)
     v = add_source(v, v_src, cfg.dt)
     w = add_source(w, w_src, cfg.dt)
     alpha = cfg.diffusion_alpha_visc
     beta = 1.0 + 6.0 * alpha
     it = cfg.jacobi_iters
-    u = o3.diffuse3(1, u_src, u, alpha, beta, it)
-    v = o3.diffuse3(2, v_src, v, alpha, beta, it)
-    w = o3.diffuse3(3, w_src, w, alpha, beta, it)
-    u, v, w = o3.project3(u, v, w, cfg.n, it)
-    adv = _advect3(cfg)
-    u0, v0, w0 = u, v, w
-    u = adv(1, u0, u0, v0, w0)
-    v = adv(2, v0, u0, v0, w0)
-    w = adv(3, w0, u0, v0, w0)
-    return o3.project3(u, v, w, cfg.n, it)
+    u = ops.diffuse(1, u_src, u, alpha, beta, it)
+    v = ops.diffuse(2, v_src, v, alpha, beta, it)
+    w = ops.diffuse(3, w_src, w, alpha, beta, it)
+    u, v, w = ops.project(u, v, w, it)
+    u, v, w = ops.advect_self(u, v, w)
+    return ops.project(u, v, w, it)
 
 
 def dens_step3(cfg: SimConfig, dens, dens_src, u, v, w):
+    ops = _Ops3(cfg)
     dens = add_source(dens, dens_src, cfg.dt)
     alpha = cfg.diffusion_alpha_diff
     beta = 1.0 + 6.0 * alpha
-    dens = o3.diffuse3(0, dens_src, dens, alpha, beta, cfg.jacobi_iters)
-    return _advect3(cfg)(0, dens, u, v, w)
+    dens = ops.diffuse(0, dens_src, dens, alpha, beta, cfg.jacobi_iters)
+    return ops.advect(0, dens, u, v, w)
 
 
 def step3(cfg: SimConfig, state: FluidState, sources: Sources) -> FluidState:

@@ -344,6 +344,142 @@ def _project_local(u, v, n, iters, px, py):
 
 
 # ---------------------------------------------------------------------------
+# Pallas per-shard compute (1-D row-slab decomposition)
+# ---------------------------------------------------------------------------
+
+
+def _halo_rows(x: jnp.ndarray, px: int, K: int):
+    """K-deep row halos from the up/down mesh neighbors (full-width slabs:
+    no column exchange needed).  Wall shards receive zeros (dead rows — the
+    kernels' wall BC owns those positions)."""
+    m, side = x.shape
+    dt = x.dtype
+    if px > 1:
+        fwd = [(i, i + 1) for i in range(px - 1)]
+        bwd = [(i + 1, i) for i in range(px - 1)]
+        top = jax.lax.ppermute(x[-K:, :], "x", fwd)
+        bottom = jax.lax.ppermute(x[:K, :], "x", bwd)
+    else:
+        top = jnp.zeros((K, side), dt)
+        bottom = jnp.zeros((K, side), dt)
+    return top, bottom
+
+
+def _step_local_pallas(cfg: SimConfig, px: int, state: FluidState,
+                       src: Sources) -> FluidState:
+    """Per-shard step through the Pallas slab kernels
+    (``kernels.pallas_sharded``).  Same composition as ``_step_local``;
+    advection is always windowed (the kernels' clamped-gather semantics)."""
+    from ..kernels import pallas_sharded as ps
+    from ..kernels.pallas_ops import _ceil8
+
+    n, dtim = cfg.n, cfg.dt
+    it = cfg.jacobi_iters
+    side = n + 2
+    m = side // px
+    cmax = cfg.max_courant
+    fuse = cfg.fuse_sweeps or 20
+    fast = cfg.fast_math
+
+    ax = jax.lax.axis_index("x")
+    flags = jnp.stack(
+        [
+            (ax == 0).astype(jnp.int32),
+            (ax == px - 1).astype(jnp.int32),
+            (ax * m).astype(jnp.int32),
+        ]
+    )
+
+    def diffuse(b, x_init, rhs, alpha, beta, iters, zero_init=False,
+                use_fast=False):
+        x = x_init
+        first = True
+        remaining = iters
+        while remaining > 0:
+            s = min(fuse, remaining)
+            K = _ceil8(s + 1)
+            rt, rb = _halo_rows(rhs, px, K)
+            rhs_ext = jnp.concatenate([rt, rhs, rb], axis=0)
+            zi = zero_init and first
+            if zi:
+                x_ext = rhs_ext  # ignored by the kernel
+            else:
+                xt, xb = _halo_rows(x, px, K)
+                x_ext = jnp.concatenate([xt, x, xb], axis=0)
+            x = ps.fused_jacobi_slab(
+                b, x_ext, rhs_ext, flags, m=m, K=K, alpha=float(alpha),
+                beta=float(beta), sweeps=s, zero_init=zi, fast=use_fast,
+            )
+            first = False
+            remaining -= s
+        return x
+
+    def project(u, v):
+        vt, vb = _halo_rows(v, px, 8)
+        div = ps.divergence_slab(u, v, vt, vb, flags, n)
+        p = diffuse(0, None, div, 1.0, 4.0, it, zero_init=True)
+        pt, pb = _halo_rows(p, px, 8)
+        return ps.gradient_slab(u, v, p, pt, pb, flags, n)
+
+    def ext_for_advect(d0, tm):
+        C = cmax + 1
+        t, bq = _halo_rows(d0, px, C)
+        z = jnp.zeros((tm - C, side), d0.dtype)
+        return jnp.concatenate([z, t, d0, bq, z], axis=0)
+
+    def advect_one(b, d0, u, v):
+        tm = ps.advect_slab_tm(m, side, 1)
+        de = ext_for_advect(d0, tm)
+        (out,) = ps.advect_slab(
+            (b,), (de,), u, v, flags, dt=dtim, n=n, cmax=cmax, m=m,
+            self_adv=False,
+        )
+        return out
+
+    def advect_pair_self(u0, v0):
+        tm = ps.advect_slab_tm(m, side, 2)
+        if tm is None:  # very wide grids: two singles
+            return advect_one(1, u0, u0, v0), advect_one(2, v0, u0, v0)
+        ue = ext_for_advect(u0, tm)
+        ve = ext_for_advect(v0, tm)
+        return ps.advect_slab(
+            (1, 2), (ue, ve), None, None, flags, dt=dtim, n=n, cmax=cmax,
+            m=m, self_adv=True,
+        )
+
+    dt_c = jnp.asarray(dtim, state.u.dtype)
+    u = state.u + dt_c * src.u
+    v = state.v + dt_c * src.v
+    alpha = cfg.diffusion_alpha_visc
+    beta = 1.0 + 4.0 * alpha
+    u = diffuse(1, src.u, u, alpha, beta, it, use_fast=fast)
+    v = diffuse(2, src.v, v, alpha, beta, it, use_fast=fast)
+    u, v = project(u, v)
+    u0, v0 = u, v
+    u, v = advect_pair_self(u0, v0)
+    u, v = project(u, v)
+
+    dens = state.dens + dt_c * src.dens
+    alpha = cfg.diffusion_alpha_diff
+    beta = 1.0 + 4.0 * alpha
+    dens = diffuse(0, src.dens, dens, alpha, beta, it, use_fast=fast)
+    dens = advect_one(0, dens, u, v)
+    return FluidState(dens=dens, u=u, v=v)
+
+
+def _pallas_shard_viable(cfg: SimConfig, px: int, py: int) -> bool:
+    from ..kernels import pallas_ops, pallas_sharded as ps
+
+    side = cfg.n + 2
+    if py != 1 or side % px or cfg.ndim != 2 or cfg.dtype != jnp.float32:
+        return False
+    m = side // px
+    if pallas_ops.INTERPRET:
+        return True
+    return ps.slab_supported(m, side) and m >= cfg.max_courant + 1
+
+
+# ---------------------------------------------------------------------------
 # Step composition (local blocks) — mirrors models/stable_fluids_2d.py
 # ---------------------------------------------------------------------------
 
@@ -384,7 +520,8 @@ def _step_local(cfg: SimConfig, px: int, py: int, advect_mode: str,
 
 
 def make_sharded_step_fn(
-    cfg: SimConfig, mesh: Mesh, *, advect_mode: str = "exact"
+    cfg: SimConfig, mesh: Mesh, *, advect_mode: str = "exact",
+    shard_backend: str = "auto",
 ) -> Callable[[FluidState, Sources], FluidState]:
     """A jitted multi-chip step.  Inputs/outputs are global padded grids
     sharded ``P("x", "y")`` over ``mesh``; requires ``(n+2)`` divisible by
@@ -394,9 +531,17 @@ def make_sharded_step_fn(
     ``advect_mode``: "exact" all-gathers the advected field (reference
     semantics for any displacement); "windowed" exchanges a
     ``max_courant``-deep halo instead (the Pallas kernels' clamped-window
-    semantics — neighbor-only traffic)."""
+    semantics — neighbor-only traffic).
+
+    ``shard_backend``: which compute path runs *inside* each shard —
+    "reference" = jnp local ops; "pallas" = the slab kernels
+    (``kernels.pallas_sharded``; requires a 1-D row mesh (px, 1), f32, and
+    always-windowed advection); "auto" = pallas when ``cfg.backend`` asks
+    for it and the mesh/shape qualify, jnp otherwise."""
     if advect_mode not in ("exact", "windowed"):
         raise ValueError(f"unknown advect_mode {advect_mode!r}")
+    if shard_backend not in ("auto", "reference", "pallas"):
+        raise ValueError(f"unknown shard_backend {shard_backend!r}")
     px, py = mesh.shape["x"], mesh.shape["y"]
     side = cfg.n + 2
     if side % px or side % py:
@@ -416,16 +561,45 @@ def make_sharded_step_fn(
                 f"Use advect_mode='exact' or a coarser mesh."
             )
 
+    use_pallas = False
+    if shard_backend == "pallas":
+        if not _pallas_shard_viable(cfg, px, py):
+            raise ValueError(
+                f"shard_backend='pallas' needs a 1-D row mesh (px, 1), "
+                f"(n+2) % px == 0, shards of >= max_courant+1 rows with "
+                f"(n+2)/px % 8 == 0, float32 and ndim=2; got mesh "
+                f"({px}, {py}), n={cfg.n}"
+            )
+        if advect_mode == "exact":
+            raise ValueError(
+                "shard_backend='pallas' advection is always windowed; pass "
+                "advect_mode='windowed' (or shard_backend='reference' for "
+                "exact all-gather advection)"
+            )
+        use_pallas = True
+    elif shard_backend == "auto":
+        use_pallas = (
+            cfg.backend == "pallas"
+            and advect_mode == "windowed"
+            and _pallas_shard_viable(cfg, px, py)
+        )
+
     spec = P("x", "y")
     state_specs = FluidState(dens=spec, u=spec, v=spec, w=None)
     src_specs = Sources(dens=spec, u=spec, v=spec, w=None)
 
-    local = functools.partial(_step_local, cfg, px, py, advect_mode)
+    if use_pallas:
+        local = functools.partial(_step_local_pallas, cfg, px)
+    else:
+        local = functools.partial(_step_local, cfg, px, py, advect_mode)
     sharded = jax.shard_map(
         local,
         mesh=mesh,
         in_specs=(state_specs, src_specs),
         out_specs=state_specs,
+        # pallas_call outputs carry no varying-mesh-axes metadata; the
+        # per-shard program is manifestly per-device, so skip the vma check.
+        check_vma=not use_pallas,
     )
     return jax.jit(sharded)
 

@@ -1,0 +1,61 @@
+"""Conjugate-gradient pressure solver (ops/cg.py)."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from fluidsimulationcuda_tpu import SimConfig, make_step_fn, reference_init
+from fluidsimulationcuda_tpu.ops.cg import cg_pressure_solve, cg_residual_norm
+from fluidsimulationcuda_tpu.ops.project import divergence, pressure_solve
+
+
+def _div_field(n, seed=0):
+    cfg = SimConfig(n=n, jacobi_iters=4, backend="reference")
+    state, sources = reference_init(jax.random.key(seed), cfg)
+    u = state.u + jnp.asarray(cfg.dt, jnp.float32) * sources.u
+    v = state.v + jnp.asarray(cfg.dt, jnp.float32) * sources.v
+    return divergence(u, v, n)
+
+
+def test_cg_beats_jacobi40_residual_in_20_iters():
+    """VERDICT r1 #8 done-criterion: <= Jacobi-40 residual in <= 20 CG
+    iterations."""
+    div = _div_field(62)
+    p_j = pressure_solve(div, 40)
+    p_c = cg_pressure_solve(div, iters=20)
+    rj = float(cg_residual_norm(p_j, div))
+    rc = float(cg_residual_norm(p_c, div))
+    assert rc <= rj, f"CG-20 residual {rc:.3e} vs Jacobi-40 {rj:.3e}"
+    # And not marginally: CG should be far ahead at this size.
+    assert rc < 0.2 * rj, (rc, rj)
+
+
+def test_cg_converges_monotonically_in_iters():
+    div = _div_field(30)
+    last = float("inf")
+    for it in (5, 10, 20, 40):
+        r = float(cg_residual_norm(cg_pressure_solve(div, iters=it), div))
+        assert r <= last * 1.5  # allow mild f32 plateau wiggle
+        last = r
+    assert last < 1e-6
+
+
+def test_step_with_cg_solver_runs_and_reduces_divergence():
+    cfg = SimConfig(n=30, jacobi_iters=4, backend="reference",
+                    pressure_solver="cg", cg_iters=20)
+    state, sources = reference_init(jax.random.key(1), cfg)
+    out = make_step_fn(cfg)(state, sources)
+    assert np.isfinite(np.asarray(out.dens)).all()
+    # velocity field after the step should be nearly divergence-free —
+    # tighter than the 4-sweep Jacobi solver achieves on the same config
+    d_cg = np.abs(np.asarray(divergence(out.u, out.v, cfg.n))[1:-1, 1:-1]).max()
+    cfg_j = cfg.replace(pressure_solver="jacobi")
+    out_j = make_step_fn(cfg_j)(state, sources)
+    d_j = np.abs(np.asarray(divergence(out_j.u, out_j.v, cfg.n))[1:-1, 1:-1]).max()
+    assert d_cg < d_j
+
+
+def test_cg_rejected_on_bad_solver_name():
+    with pytest.raises(ValueError, match="pressure_solver"):
+        SimConfig(n=30, pressure_solver="cgx")

@@ -1,0 +1,159 @@
+"""3-D Pallas volume kernels vs the jnp 3-D ops (interpret mode).
+
+Differential suite for ``kernels/pallas_ops_3d.py`` — per-op parity against
+``ops/three_d.py`` and a full-step parity through the 3-D model dispatch.
+"""
+import functools
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from fluidsimulationcuda_tpu import SimConfig
+from fluidsimulationcuda_tpu.kernels import pallas_ops
+from fluidsimulationcuda_tpu.ops import three_d as o3
+
+
+@pytest.fixture(autouse=True)
+def _interpret_mode():
+    prev = pallas_ops.INTERPRET
+    pallas_ops.INTERPRET = True
+    yield
+    pallas_ops.INTERPRET = prev
+
+
+N = 22
+SIDE = N + 2
+
+
+def vol(rng, lo=-1.0, hi=1.0):
+    return jnp.asarray(
+        rng.uniform(lo, hi, (SIDE, SIDE, SIDE)).astype(np.float32)
+    )
+
+
+def test_jacobi3_matches_diffuse3(rng):
+    from fluidsimulationcuda_tpu.kernels import pallas_ops_3d as k3
+
+    x, x0 = vol(rng), vol(rng)
+    for b in (0, 1, 2, 3):
+        ref = o3.diffuse3(b, x, x0, 0.3, 2.8, 7)
+        got = o3.set_bnd3(b, k3.fused_jacobi3(b, x, x0, 0.3, 2.8, 7))
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), rtol=0, atol=1e-5,
+            err_msg=f"b={b}",
+        )
+
+
+def test_jacobi3_zero_init_matches_pressure3(rng):
+    from fluidsimulationcuda_tpu.kernels import pallas_ops_3d as k3
+
+    div = vol(rng)
+    ref = o3.pressure_solve3(div, 6)
+    got = o3.set_bnd3(
+        0, k3.fused_jacobi3(0, div, div, 1.0, 6.0, 6, zero_init=True)
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=0, atol=1e-5)
+
+
+def test_jacobi3_multi_chunk(rng):
+    """iters > per-round-trip K forces chunking."""
+    from fluidsimulationcuda_tpu.kernels import pallas_ops_3d as k3
+
+    x, x0 = vol(rng), vol(rng)
+    ref = o3.diffuse3(1, x, x0, 0.3, 2.8, 9)
+    got = o3.set_bnd3(1, k3.fused_jacobi3(1, x, x0, 0.3, 2.8, 9, max_fused=4))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=0, atol=1e-5)
+
+
+def test_divergence3_and_gradient3(rng):
+    from fluidsimulationcuda_tpu.kernels import pallas_ops_3d as k3
+
+    u, v, w, p = vol(rng), vol(rng), vol(rng), vol(rng)
+    ref = o3.divergence3(u, v, w, N)
+    got = o3.set_bnd3(0, k3.divergence3_p(u, v, w, N))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=0, atol=1e-6)
+    ru, rv, rw = o3.apply_pressure_gradient3(u, v, w, p, N)
+    gu, gv, gw = k3.gradient3_p(u, v, w, p, N)
+    for r, g, b in ((ru, gu, 1), (rv, gv, 2), (rw, gw, 3)):
+        np.testing.assert_allclose(
+            np.asarray(o3.set_bnd3(b, g)), np.asarray(r), rtol=0, atol=1e-5
+        )
+
+
+@pytest.mark.parametrize("disp", [(0.4, -0.3, 0.2), (1.7, 1.7, -1.7),
+                                  (9.0, -9.0, 9.0)])
+def test_advect3_shift_matches_windowed(rng, disp):
+    """Constant displacements spanning the window incl. clamped regime."""
+    from fluidsimulationcuda_tpu.kernels import pallas_ops_3d as k3
+
+    d0 = o3.set_bnd3(0, vol(rng, 0.0, 1.0))
+    dt = 0.016
+    dt0 = dt * N
+    u = jnp.full((SIDE,) * 3, np.float32(-disp[0] / dt0))
+    v = jnp.full((SIDE,) * 3, np.float32(-disp[1] / dt0))
+    w = jnp.full((SIDE,) * 3, np.float32(-disp[2] / dt0))
+    ref = o3.advect3_windowed(0, d0, u, v, w, dt, N, cmax=2)
+    got = o3.set_bnd3(0, k3.advect3_shift(0, d0, u, v, w, dt, N, cmax=2))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=0, atol=1e-6)
+
+
+def test_advect3_random_velocities(rng):
+    from fluidsimulationcuda_tpu.kernels import pallas_ops_3d as k3
+
+    d0 = o3.set_bnd3(0, vol(rng, 0.0, 1.0))
+    u, v, w = vol(rng), vol(rng), vol(rng)
+    ref = o3.advect3_windowed(0, d0, u, v, w, 0.016, N, cmax=2)
+    got = o3.set_bnd3(0, k3.advect3_shift(0, d0, u, v, w, 0.016, N, cmax=2))
+    # atol 3e-6: XLA may contract the backtrace FMA differently in the two
+    # programs; a 1-ulp coordinate at a cell boundary picks the adjacent
+    # (zero-weight) cell, leaving ulp-scale value differences.
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=0, atol=3e-6)
+
+
+def test_advect3_fused_self_advection(rng):
+    from fluidsimulationcuda_tpu.kernels import pallas_ops_3d as k3
+
+    u, v, w = vol(rng), vol(rng), vol(rng)
+    au, av, aw = k3.advect3_shift_fused((1, 2, 3), (u, v, w), u, v, w,
+                                        0.016, N, cmax=2, self_advect=True)
+    for b, got, d0 in ((1, au, u), (2, av, v), (3, aw, w)):
+        ref = o3.advect3_windowed(b, d0, u, v, w, 0.016, N, cmax=2)
+        np.testing.assert_allclose(
+            np.asarray(o3.set_bnd3(b, got)), np.asarray(ref),
+            rtol=0, atol=3e-6, err_msg=f"b={b}",  # 1-ulp backtrace noise
+        )
+
+
+def test_step3_pallas_matches_jnp(rng):
+    """Full 3-D step through the model dispatch: pallas backend == jnp."""
+    from fluidsimulationcuda_tpu.core.state import FluidState, Sources
+    from fluidsimulationcuda_tpu.models.stable_fluids_3d import step3
+
+    cfg_p = SimConfig(n=N, ndim=3, jacobi_iters=5, backend="pallas",
+                      max_courant=2)
+    cfg_r = cfg_p.replace(backend="reference")
+    k = jax.random.split(jax.random.key(0), 4)
+    shape = (SIDE,) * 3
+    src = Sources(
+        dens=jax.random.uniform(k[0], shape, jnp.float32),
+        u=jax.random.uniform(k[1], shape, jnp.float32, -1, 1) * 0.1,
+        v=jax.random.uniform(k[2], shape, jnp.float32, -1, 1) * 0.1,
+        w=jax.random.uniform(k[3], shape, jnp.float32, -1, 1) * 0.1,
+    )
+    zeros = jnp.zeros(shape, jnp.float32)
+    state = FluidState(dens=zeros, u=zeros, v=zeros, w=zeros)
+    sp = functools.partial(step3, cfg_p)(state, src)
+    sr = functools.partial(step3, cfg_r)(state, src)
+    for name in ("dens", "u", "v", "w"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(sp, name)), np.asarray(getattr(sr, name)),
+            rtol=0, atol=2e-5, err_msg=name,
+        )
