@@ -51,6 +51,12 @@ def cg_pressure_solve(div: jnp.ndarray, iters: int = 20) -> jnp.ndarray:
     copy rule, like ``pressure_solve``)."""
     dt = div.dtype
     b = div[1:-1, 1:-1]
+    # A with the copy (Neumann) BC is singular — constants are its
+    # nullspace.  Deflate the RHS mean (the f32 mean of a discrete
+    # divergence is small but nonzero); pressure is only ever used through
+    # its gradient, so the constant shift is immaterial, and without the
+    # deflation CG stalls at the inconsistency floor instead of converging.
+    b = b - jnp.mean(b)
     x = jnp.zeros_like(b)
     r = b  # r0 = b - A·0
     p = r
