@@ -28,10 +28,15 @@ from fluidsimulationcuda_tpu.utils.cache import enable_compilation_cache
 
 enable_compilation_cache()
 
+import dataclasses  # noqa: E402
+import functools  # noqa: E402
+import math  # noqa: E402
+
 from fluidsimulationcuda_tpu import (  # noqa: E402
     SimConfig,
     make_step_fn,
     reference_init,
+    step_audited,
     zero_sources,
 )
 
@@ -48,23 +53,63 @@ def _run(step_fn, state, zeros, steps) -> float:
     return time.perf_counter() - t0
 
 
-def max_displacement_cells(cfg: SimConfig, state) -> float:
-    """Largest semi-Lagrangian backtrace displacement (cells) in a state —
-    the advection gather window is exact while this stays <= cmax - 1
-    (clamp semantics: ``FluidSequential.c:117-127``).  Audits the headline's
-    exact-regime claim instead of assuming it."""
-    import jax.numpy as jnp
+def inject_exact(cfg: SimConfig):
+    """Run the source-injection step through the exact-gather advect path.
 
-    dt0 = cfg.dt * cfg.n
+    The reference init's velocity impulse backtraces ~``0.01 * dt * n`` cells
+    on the very first step — ~21 cells at 2048², far outside any practical
+    gather window — before viscosity (``a = dt * visc * n²`` ≈ 167) flattens
+    the field to sub-cell displacements by step 3.  Running that ONE step
+    with the XLA-gather path (arbitrary displacement, ``ops/advect.py``)
+    keeps the whole benchmark trajectory reference-exact
+    (``FluidSequential.c:117-127`` clamp semantics) while the timed steady
+    state runs the windowed kernels.  Returns (post-injection state,
+    transient displacement in cells).
+    """
+    exact_cfg = dataclasses.replace(cfg, backend="reference",
+                                    advect_mode="exact")
+    state, sources = reference_init(jax.random.key(0), exact_cfg)
+    audited = jax.jit(functools.partial(step_audited, exact_cfg))
+    state, disp = audited(state, sources)
+    return state, float(disp)
 
-    @jax.jit
-    def _m(u, v):
-        return jnp.maximum(jnp.abs(u).max(), jnp.abs(v).max()) * dt0
 
-    return float(_m(state.u, state.v))
+def audit_displacement(cfg: SimConfig, state, steps: int) -> float:
+    """Max backtrace displacement (cells) actually seen by every advection
+    call site over ``steps`` zero-source steps from ``state`` — the audit
+    that the VERDICT's exact-regime claim rides on.  The trajectory is
+    deterministic, so replaying it untimed observes exactly what the timed
+    loop will do."""
+    zeros = zero_sources(cfg)
+    audited = jax.jit(functools.partial(step_audited, cfg))
+    disps = []
+    for _ in range(steps):
+        state, d = audited(state, zeros)
+        disps.append(d)
+    return max(float(d) for d in disps)
 
 
-def bench_step(cfg: SimConfig, steps: int, warmup: int = 3) -> float:
+def select_cmax(cfg: SimConfig, state, steps: int, margin: float = 0.25):
+    """Auto-select the advection gather window: smallest ``cmax`` whose
+    exactness condition (displacement < cmax, see
+    ``kernels/pallas_ops.py:586-600`` clamp) holds with ``margin`` cells to
+    spare over the audited trajectory.  Audits with the candidate window,
+    growing it if the trajectory was clamped (a clamped replay is not the
+    true trajectory), then shrinks to the smallest sufficient window — the
+    shrunk window's trajectory is identical because no clamp fires under
+    either."""
+    c = cfg.max_courant
+    for _ in range(6):
+        dmax = audit_displacement(dataclasses.replace(cfg, max_courant=c),
+                                  state, steps)
+        if dmax < c - margin:
+            return max(1, int(math.floor(dmax + margin)) + 1), dmax
+        c = int(math.ceil(dmax + 2 * margin))
+    return c, dmax
+
+
+def bench_step(cfg: SimConfig, steps: int, warmup: int = 3,
+               auto_cmax: bool = False) -> float:
     """Marginal seconds per step, steady state with zero sources (the
     reference's 50-step averaged loop,
     ``optPar/LOOPUNROLLED-Interleaved2.cu:680-727``).
@@ -73,21 +118,26 @@ def bench_step(cfg: SimConfig, steps: int, warmup: int = 3) -> float:
     TPU path adds a large fixed sync latency per measurement that a naive
     mean would smear into the result.
     """
-    state, sources = reference_init(jax.random.key(0), cfg)
+    state, transient = inject_exact(cfg)
+
+    if auto_cmax:
+        cmax, disp = select_cmax(cfg, state, warmup + steps)
+        cfg = dataclasses.replace(cfg, max_courant=cmax)
+    else:
+        disp = audit_displacement(cfg, state, warmup + steps)
+
     zeros = zero_sources(cfg)
     step_fn = make_step_fn(cfg)
-
-    state = step_fn(state, sources)  # source-injection step + compile
-    disp = max_displacement_cells(cfg, state)
     for _ in range(warmup):
         state = step_fn(state, zeros)
     _ = float(state.dens.ravel()[0])
-    disp = max(disp, max_displacement_cells(cfg, state))
 
     short = max(2, steps // 5)
     t_short = min(_run(step_fn, state, zeros, short) for _ in range(2))
     t_long = min(_run(step_fn, state, zeros, steps) for _ in range(2))
     bench_step.last_max_displacement = disp
+    bench_step.last_transient = transient
+    bench_step.last_cmax = cfg.max_courant
     return max((t_long - t_short) / (steps - short), 1e-9)
 
 
@@ -97,20 +147,25 @@ def main() -> None:
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--steps", type=int, default=100)
     ap.add_argument("--backend", default="auto")
-    ap.add_argument("--cmax", type=int, default=2,
-                    help="pallas advection gather window (see SimConfig)")
+    ap.add_argument("--cmax", default="auto",
+                    help="pallas advection gather window (int, or 'auto' to "
+                         "pick the smallest window the audited trajectory "
+                         "provably fits; see SimConfig.max_courant)")
     ap.add_argument("--sweep", action="store_true")
     args = ap.parse_args()
 
     print(f"jax {jax.__version__} backend={jax.default_backend()} "
           f"devices={jax.devices()}", file=sys.stderr)
 
+    auto_cmax = args.cmax == "auto"
+    cmax0 = 2 if auto_cmax else int(args.cmax)
+
     if args.sweep:
         # Reference scaling study: 2^10 .. 2^24 cells (Slide10/Slide11).
         for side_pow in range(5, 13):
             side = 2 ** side_pow
             cfg = SimConfig(n=side - 2, jacobi_iters=args.iters,
-                            backend=args.backend, max_courant=args.cmax)
+                            backend=args.backend, max_courant=cmax0)
             # small grids need long runs for the slope to rise above the
             # relay's fixed sync-latency noise
             steps = 400 if side <= 512 else (100 if side <= 2048 else 15)
@@ -124,22 +179,27 @@ def main() -> None:
         return
 
     cfg = SimConfig(n=args.n, jacobi_iters=args.iters, backend=args.backend,
-                    max_courant=args.cmax)
-    sec = bench_step(cfg, steps=args.steps)
+                    max_courant=cmax0)
+    sec = bench_step(cfg, steps=args.steps, auto_cmax=auto_cmax)
     mcells = cfg.num_cells / sec / 1e6
-    disp = getattr(bench_step, "last_max_displacement", float("nan"))
-    exact = disp <= args.cmax - 1
+    disp = bench_step.last_max_displacement
+    cmax = bench_step.last_cmax
+    exact = disp < cmax
     print(f"{sec * 1e3:.3f} ms/step at {cfg.n + 2}², {args.iters} Jacobi iters; "
-          f"max backtrace displacement {disp:.3f} cells "
-          f"({'exact' if exact else 'CLAMPED'} regime for cmax={args.cmax})",
+          f"injection step exact-gather (transient "
+          f"{bench_step.last_transient:.1f} cells, untimed); audited timed-"
+          f"trajectory displacement {disp:.3f} cells "
+          f"({'exact' if exact else 'CLAMPED'} regime for cmax={cmax})",
           file=sys.stderr)
     print(json.dumps({
-        "metric": f"full-step throughput @ {cfg.n + 2}^2, {args.iters} Jacobi iters, advect window +-{args.cmax}",
+        "metric": f"full-step throughput @ {cfg.n + 2}^2, {args.iters} Jacobi iters, advect window +-{cmax}",
         "value": round(mcells, 1),
         "unit": "Mcell-updates/s",
         "vs_baseline": round(mcells / BASELINE_MCELLS_PER_S, 2),
         "max_displacement_cells": round(disp, 3),
+        "advect_window_cells": cmax,
         "advect_exact_regime": bool(exact),
+        "injection_transient_cells": round(bench_step.last_transient, 2),
     }))
 
 

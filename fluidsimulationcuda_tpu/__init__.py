@@ -16,7 +16,7 @@ programs collapse here into one engine:
 
 from .core.config import SimConfig
 from .core.state import FluidState, Sources, reference_init, zero_sources, zero_state
-from .models.stable_fluids_2d import StableFluids2D, make_step_fn, simulate, step
+from .models.stable_fluids_2d import StableFluids2D, make_step_fn, simulate, step, step_audited
 
 __version__ = "0.1.0"
 
@@ -31,5 +31,6 @@ __all__ = [
     "make_step_fn",
     "simulate",
     "step",
+    "step_audited",
     "__version__",
 ]

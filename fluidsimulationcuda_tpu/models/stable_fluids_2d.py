@@ -26,20 +26,14 @@ from ..core.config import SimConfig
 from ..core.state import FluidState, Sources, zero_sources
 from ..kernels.dispatch import get_ops
 
-__all__ = ["vel_step", "dens_step", "step", "make_step_fn", "simulate", "StableFluids2D"]
+__all__ = [
+    "vel_step", "dens_step", "step", "step_audited", "make_step_fn",
+    "simulate", "StableFluids2D",
+]
 
 
-def vel_step(
-    cfg: SimConfig, u: jax.Array, v: jax.Array, u_src: jax.Array, v_src: jax.Array
-) -> tuple[jax.Array, jax.Array]:
-    """Velocity update (``FluidSequential.c:189-241``)."""
-    ops = get_ops(cfg)
-    alpha = cfg.diffusion_alpha_visc
-    beta = 1.0 + 4.0 * alpha
-    # add_source fused into the diffusion rhs (kernel-level on pallas)
-    u = ops.diffuse_src(1, u_src, u, alpha, beta, cfg.jacobi_iters, cfg.dt)
-    v = ops.diffuse_src(2, v_src, v, alpha, beta, cfg.jacobi_iters, cfg.dt)
-
+def _make_project(cfg: SimConfig, ops):
+    """Pressure-projection closure honoring ``cfg.pressure_solver``."""
     if cfg.pressure_solver == "multigrid":
         from ..ops.multigrid import mg_pressure_solve
 
@@ -57,6 +51,20 @@ def vel_step(
     else:
         def _project(u, v):
             return ops.project(u, v, cfg.n, cfg.jacobi_iters)
+    return _project
+
+
+def vel_step(
+    cfg: SimConfig, u: jax.Array, v: jax.Array, u_src: jax.Array, v_src: jax.Array
+) -> tuple[jax.Array, jax.Array]:
+    """Velocity update (``FluidSequential.c:189-241``)."""
+    ops = get_ops(cfg)
+    alpha = cfg.diffusion_alpha_visc
+    beta = 1.0 + 4.0 * alpha
+    # add_source fused into the diffusion rhs (kernel-level on pallas)
+    u = ops.diffuse_src(1, u_src, u, alpha, beta, cfg.jacobi_iters, cfg.dt)
+    v = ops.diffuse_src(2, v_src, v, alpha, beta, cfg.jacobi_iters, cfg.dt)
+    _project = _make_project(cfg, ops)
 
     u, v = _project(u, v)
     u0, v0 = u, v
@@ -82,6 +90,41 @@ def step(cfg: SimConfig, state: FluidState, sources: Sources) -> FluidState:
     u, v = vel_step(cfg, state.u, state.v, sources.u, sources.v)
     dens = dens_step(cfg, state.dens, sources.dens, u, v)
     return FluidState(dens=dens, u=u, v=v)
+
+
+def step_audited(
+    cfg: SimConfig, state: FluidState, sources: Sources
+) -> tuple[FluidState, jax.Array]:
+    """``step`` plus the max semi-Lagrangian backtrace displacement (cells)
+    seen by this step's advection call sites.
+
+    The velocity self-advection backtraces through the *post-projection*
+    intermediate velocities (``FluidSequential.c:232,237``), not the
+    between-steps state, so auditing the stored state alone under-reports.
+    The windowed gather (``kernels/pallas_ops.py`` clamp, matching
+    ``FluidSequential.c:117-127`` semantics within the window) is exact for
+    a step iff this value stays strictly below ``cfg.max_courant``.
+    """
+    dt0 = cfg.dt * cfg.n
+
+    def _disp(u, v):
+        return jnp.maximum(jnp.abs(u).max(), jnp.abs(v).max()) * dt0
+
+    ops = get_ops(cfg)
+    alpha = cfg.diffusion_alpha_visc
+    beta = 1.0 + 4.0 * alpha
+    u = ops.diffuse_src(1, sources.u, state.u, alpha, beta,
+                        cfg.jacobi_iters, cfg.dt)
+    v = ops.diffuse_src(2, sources.v, state.v, alpha, beta,
+                        cfg.jacobi_iters, cfg.dt)
+    _project = _make_project(cfg, ops)
+    u, v = _project(u, v)
+    d_vel = _disp(u, v)  # what the self-advection actually backtraces with
+    u, v = ops.advect_pair(1, 2, u, v, u, v, cfg.dt, cfg.n)
+    u, v = _project(u, v)
+    d_dens = _disp(u, v)  # what the density advection backtraces with
+    dens = dens_step(cfg, state.dens, sources.dens, u, v)
+    return FluidState(dens=dens, u=u, v=v), jnp.maximum(d_vel, d_dens)
 
 
 def make_step_fn(cfg: SimConfig) -> Callable[[FluidState, Sources], FluidState]:

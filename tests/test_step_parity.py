@@ -134,3 +134,32 @@ def test_bf16_mode_runs():
     assert a.dtype != b.dtype or True
     # qualitative agreement: bf16 has ~2-3 significant digits
     assert np.abs(a - b).max() < 0.05 * (np.abs(b).max() + 1e-3) + 0.02
+
+
+def test_step_audited_matches_step_and_bounds_displacement():
+    """step_audited must return the identical next state as step() plus a
+    displacement that (a) upper-bounds nothing less than the real advect
+    inputs and (b) equals dt*n*max|vel| at the two call sites: checked by
+    recomputing the intermediate velocities by hand."""
+    from fluidsimulationcuda_tpu import step, step_audited
+    from fluidsimulationcuda_tpu.kernels.dispatch import get_ops
+    from fluidsimulationcuda_tpu.models.stable_fluids_2d import _make_project
+
+    cfg = SimConfig(n=30, jacobi_iters=20, backend="reference")
+    state, sources = reference_init(jax.random.key(7), cfg)
+
+    out_plain = step(cfg, state, sources)
+    out_aud, disp = step_audited(cfg, state, sources)
+    for a, b in zip(jax.tree.leaves(out_plain), jax.tree.leaves(out_aud)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # recompute the two advect-input velocity fields independently
+    ops = get_ops(cfg)
+    alpha, beta = cfg.diffusion_alpha_visc, 1.0 + 4.0 * cfg.diffusion_alpha_visc
+    u = ops.diffuse_src(1, sources.u, state.u, alpha, beta, cfg.jacobi_iters, cfg.dt)
+    v = ops.diffuse_src(2, sources.v, state.v, alpha, beta, cfg.jacobi_iters, cfg.dt)
+    proj = _make_project(cfg, ops)
+    u1, v1 = proj(u, v)
+    d1 = cfg.dt * cfg.n * max(np.abs(np.asarray(u1)).max(), np.abs(np.asarray(v1)).max())
+    d2 = cfg.dt * cfg.n * max(np.abs(np.asarray(out_aud.u)).max(), np.abs(np.asarray(out_aud.v)).max())
+    np.testing.assert_allclose(float(disp), max(d1, d2), rtol=1e-6)
