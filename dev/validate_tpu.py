@@ -140,6 +140,21 @@ def compiled_differential(n=2046, iters=20):
             advect_windowed(0, x0, uc, vc, dt, n, cmax)))
     check("diff advect displacement sweep", worst == 0.0, f"{worst:.2e}")
 
+    # Fused density step (diffuse_src -> advect in one kernel) vs the
+    # two-kernel composition, random velocities, cmax=1 (the headline
+    # auto-selected window) and cmax=2.
+    for cm in (1, 2):
+        alpha_d = 0.8
+        beta_d = 1.0 + 4 * alpha_d
+        dd = po.fused_jacobi(0, u, x0 + np.float32(dt) * u, alpha_d, beta_d,
+                             iters)
+        want = po.advect_shift(0, dd, u, v, dt, n, cmax=cm)
+        got = po.fused_dens_advect(0, u, x0, u, v, alpha_d, beta_d, iters,
+                                   dt, n, cmax=cm)
+        d = maxd(got, want)
+        check(f"diff fused dens step compiled vs composed (cmax={cm})",
+              d < 1e-5, f"{d:.2e}")
+
     # Batched leading dim (datagen path).
     ub = jnp.stack([u, v, x0])
     x0b = jnp.stack([x0, u, v])

@@ -37,6 +37,10 @@ class OpSet(NamedTuple):
     advect_pair: Callable
     project: Callable
     diffuse_src: Callable
+    # Optional cross-op fusion: the whole density pair
+    # diffuse_src -> advect (``FluidSequential.c:176-186``) in one kernel.
+    # None = compose the two ops (reference backend, unsupported shapes).
+    diffuse_advect: Callable | None = None
 
 
 def _advect_pair_ref(b1, b2, d1, d2, u, v, dt, n):

@@ -46,10 +46,17 @@ INTERPRET = False
 _LANE = 128
 _ADVECT_TM = 32  # advection strip height cap (static-unrolled gather stack is VMEM-bounded)
 # This chip exposes far more VMEM than Mosaic's 16MB default scoped limit
-# (96MB scratch verified working); raise the limit and size windows against
-# a conservative budget.
-_VMEM_LIMIT = None  # None -> Mosaic default (16MB); raising it degrades scheduling
+# (96MB scratch verified working).  The sweep-window kernels (Jacobi /
+# projection / fused dens) size against _SWEEP_BUDGET and raise their
+# per-kernel scoped-vmem cap accordingly: taller strips amortize the
+# sweeps+1 validity margin (512-row strips pay 1.09x redundant sweep rows
+# vs 1.38x at 128 — measured 3.58 -> 3.02 ms/step at 2048^2/20it).  The
+# advection gather kernels keep the conservative 11MB budget: their Mosaic
+# stack (masked-shift accumulator chains) blows up far earlier than their
+# buffer count suggests.
+_VMEM_LIMIT = 48 * 2**20
 _VMEM_BUDGET = 11 * 2**20
+_SWEEP_BUDGET = 36 * 2**20
 
 
 def _cparams():
@@ -63,19 +70,21 @@ def _signs(b: int) -> tuple[float, float]:
 
 
 def _pick_tm(side: int) -> int | None:
-    """Output strip height.  Whole-grid single strip when it fits VMEM
-    (3 buffers x side^2 x 4B <= ~10MB); otherwise the largest strip whose
-    working set (3 sweep buffers with ~margin-row windows + pipelined out
-    blocks + Mosaic stack) stays within ~11MB of the 16MB VMEM."""
-    # Whole-grid single strip only for small grids (6 double-buffered
-    # windows + ping-pong + outs must fit); at large sizes strips win by
-    # pipelining DMA against compute.
+    """Output strip height for the sweep-window kernels.  Whole-grid single
+    strip when it fits VMEM; otherwise the TALLEST strip whose working set
+    (6 sweep windows + pipelined out blocks + Mosaic stack) fits
+    ``_SWEEP_BUDGET``, keeping >= 4 strips so input DMA still pipelines
+    against compute.  Taller strips amortize the sweeps+1 validity margin
+    (the redundant rows every fused-sweep window recomputes)."""
     if 8 * side * side * 4 <= 10 * 2**20:
         return side
-    budget_rows = _VMEM_BUDGET // (side * 4)
+    budget_rows = _SWEEP_BUDGET // (side * 4)
     # 6 sweep windows (2x2 double-buffered inputs + 2 ping-pong) + out
     # blocks; require room for at least an 8-row (7-sweep) fusion margin.
-    for tm in (128, 256, 512, 64, 32):  # 128 pipelines best
+    for tm in (512, 256, 128, 64, 32):
+        if side % tm == 0 and side // tm >= 4 and 8 * tm + 12 * 8 <= budget_rows:
+            return tm
+    for tm in (128, 64, 32):  # odd sides: accept fewer, shorter strips
         if side % tm == 0 and 8 * tm + 12 * 8 <= budget_rows:
             return tm
     return None
@@ -327,7 +336,7 @@ def fused_jacobi(
         # Fused window (tm + 2*ceil8(k+1) rows) must fit inside the grid
         # AND the 6-window working set must fit VMEM.
         margin_cap = ((side - tm) // 2) // 8 * 8
-        vmem_margin = ((_VMEM_BUDGET // (side * 4) - 8 * tm) // 12) // 8 * 8
+        vmem_margin = ((_SWEEP_BUDGET // (side * 4) - 8 * tm) // 12) // 8 * 8
         margin_cap = min(margin_cap, max(vmem_margin, 8))
         max_fused = max(1, min(max_fused, margin_cap - 1))
     while remaining > 0:
@@ -397,8 +406,9 @@ def _fused_jacobi_call(b, x, x0, alpha, beta, sweeps, tm, side, zero_init,
 
 
 def _project_kernel(
-    u_hbm, v_hbm, uout, vout, ubuf, vbuf, rhs_buf, p_a, p_b, sems,
+    u_hbm, v_hbm, uout, vout, ubuf2, vbuf2, rhs_buf, p_a, p_b, sems,
     *, n: int, iters: int, tm: int, wr: int, side: int, margin: int,
+    nstrips: int, total: int,
 ):
     """Whole projection (``FluidSequential.c:213-226``) in one kernel per
     strip: divergence computed in-window, ``iters`` pressure sweeps in VMEM,
@@ -410,18 +420,50 @@ def _project_kernel(
     which the iters+3 margin covers (at walls the edge rows are the ghost
     ring, refreshed by the in-sweep BC — reference ``set_bnd(0, ...)``,
     ``FluidSequential.c:156-157``).
+
+    The u/v input windows are double-buffered like the Jacobi kernel's:
+    while this strip runs its pressure sweeps, the next strip's windows
+    stream in (the serial DMA wait cost ~8%% of the kernel).
     """
     bi = pl.program_id(0)
     gi = pl.program_id(1)
+    lin = bi * nstrips + gi
+    slot = jax.lax.rem(lin, 2)
+
+    def dmas(bi_, gi_, slot_):
+        start_ = pl.multiple_of(
+            jnp.clip(gi_ * tm - margin, 0, side - wr), 8
+        )
+        return [
+            pltpu.make_async_copy(
+                u_hbm.at[bi_, pl.ds(start_, wr), :], ubuf2.at[slot_],
+                sems.at[slot_, 0],
+            ),
+            pltpu.make_async_copy(
+                v_hbm.at[bi_, pl.ds(start_, wr), :], vbuf2.at[slot_],
+                sems.at[slot_, 1],
+            ),
+        ]
+
+    @pl.when(lin == 0)
+    def _():
+        for cp in dmas(bi, gi, slot):
+            cp.start()
+
+    @pl.when(lin + 1 < total)
+    def _():
+        nlin = lin + 1
+        for cp in dmas(nlin // nstrips, jax.lax.rem(nlin, nstrips),
+                       jax.lax.rem(nlin, 2)):
+            cp.start()
+
+    for cp in dmas(bi, gi, slot):
+        cp.wait()
+
     r0 = gi * tm
     start = pl.multiple_of(jnp.clip(r0 - margin, 0, side - wr), 8)
-
-    cu = pltpu.make_async_copy(u_hbm.at[bi, pl.ds(start, wr), :], ubuf, sems.at[0])
-    cv = pltpu.make_async_copy(v_hbm.at[bi, pl.ds(start, wr), :], vbuf, sems.at[1])
-    cu.start()
-    cv.start()
-    cu.wait()
-    cv.wait()
+    ubuf = ubuf2.at[slot]
+    vbuf = vbuf2.at[slot]
 
     dt = rhs_buf.dtype
     h = jnp.asarray(1.0, dt) / n
@@ -486,10 +528,10 @@ def fused_project_supported(side: int, iters: int) -> bool:
     if tm == side:
         return True
     margin = _ceil8(iters + 3)
-    while 7 * (tm + 2 * margin) * side * 4 > _VMEM_BUDGET and tm > 32:
+    while 7 * (tm + 2 * margin) * side * 4 > _SWEEP_BUDGET and tm > 32:
         tm //= 2
     wr = tm + 2 * margin
-    return 7 * wr * side * 4 <= _VMEM_BUDGET and wr <= side
+    return 7 * wr * side * 4 <= _SWEEP_BUDGET and wr <= side
 
 
 def fused_project(u, v, n: int, iters: int):
@@ -507,7 +549,7 @@ def _fused_project_call(u, v, n, iters):
         wr = side
     else:
         # 5 window buffers instead of 3: shrink the strip if needed.
-        while 7 * (tm + 2 * _ceil8(iters + 3)) * side * 4 > _VMEM_BUDGET and tm > 32:
+        while 7 * (tm + 2 * _ceil8(iters + 3)) * side * 4 > _SWEEP_BUDGET and tm > 32:
             tm //= 2
         margin = _ceil8(iters + 3)
         wr = tm + 2 * margin
@@ -522,7 +564,7 @@ def _fused_project_call(u, v, n, iters):
     nstrips = side // tm
     kernel = functools.partial(
         _project_kernel, n=n, iters=iters, tm=tm, wr=wr, side=side,
-        margin=margin,
+        margin=margin, nstrips=nstrips, total=nb * nstrips,
     )
     blk = pl.BlockSpec((1, tm, side), lambda bi, gi: (bi, gi, 0),
                        memory_space=pltpu.VMEM)
@@ -535,10 +577,22 @@ def _fused_project_call(u, v, n, iters):
         ),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 2,
         out_specs=(blk, blk),
-        scratch_shapes=[pltpu.VMEM((wr, side), u.dtype) for _ in range(5)]
-        + [pltpu.SemaphoreType.DMA((2,))],
+        scratch_shapes=[
+            pltpu.VMEM((2, wr, side), u.dtype),
+            pltpu.VMEM((2, wr, side), u.dtype),
+            pltpu.VMEM((wr, side), u.dtype),
+            pltpu.VMEM((wr, side), u.dtype),
+            pltpu.VMEM((wr, side), u.dtype),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ],
         interpret=INTERPRET,
-        compiler_params=None if INTERPRET else _cparams(),
+        # 512-row strips with double-buffered u/v windows + pipelined out
+        # blocks need ~54MB of scoped VMEM at 2048^2/20it; raise the cap for
+        # this kernel only (96MB scratch verified working on this chip, and
+        # the tall strip measured faster than shrinking it to fit 16MB).
+        compiler_params=None if INTERPRET else pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 2**20
+        ),
     )(u, v)
     if squeeze:
         return uo.reshape(side, side), vo.reshape(side, side)
@@ -794,6 +848,282 @@ def _advect_call(bs, d0s, dt, n, cmax, self_adv, u, v):
 
 
 # ---------------------------------------------------------------------------
+# Fused density step: add_source -> diffuse -> advect in one kernel
+# ---------------------------------------------------------------------------
+
+
+def _dens_fused_kernel(
+    src_hbm, base_hbm, u_ref, v_ref, out_ref, xs2, rhs2, buf_b, buf_c, g11b,
+    wbuf, sems,
+    *, b: int, alpha: float, beta: float, sweeps: int, tm: int, wr: int,
+    side: int, margin: int, nstrips: int, total: int, n: int, dt: float,
+    cmax: int, src_dt: float, fast: bool,
+):
+    """The whole ``dens_step`` (``FluidSequential.c:176-186``) per strip:
+    add_source folded into the Jacobi rhs, ``sweeps`` diffusion sweeps in
+    VMEM, then the semi-Lagrangian gather reads the diffused field straight
+    out of the sweep window — the diffused density never round-trips HBM.
+
+    The gather needs rows ``r0-cmax .. r0+tm+cmax`` converged, so the window
+    margin is ``ceil8(sweeps+1+cmax)`` (vs ``sweeps+1`` for plain Jacobi).
+    One dynamic sublane roll stages the gather sub-window into ``wbuf`` with
+    global row ``r0`` at STATIC local row 8, making every row-shift read a
+    static ref slice (dynamic slices at non-8-aligned offsets would
+    relayout, and per-shift full-window rolls kept too many window-sized
+    values live for Mosaic's scoped-vmem stack; the roll is positive-
+    normalized because negative dynamic sublane shifts mis-rotate in
+    compiled Mosaic, see ``_advect_kernel``).  The four corner accumulators
+    live in the Jacobi buffers that are dead after the final sweep (xs2/rhs2
+    current slots, buf_b), so the fusion adds only ~two tm-row scratches.
+    """
+    bi = pl.program_id(0)
+    gi = pl.program_id(1)
+    lin = bi * nstrips + gi
+    slot = jax.lax.rem(lin, 2)
+
+    def dmas(bi_, gi_, slot_):
+        start_ = pl.multiple_of(
+            jnp.clip(gi_ * tm - margin, 0, side - wr), 8
+        )
+        return [
+            pltpu.make_async_copy(
+                base_hbm.at[bi_, pl.ds(start_, wr), :], rhs2.at[slot_],
+                sems.at[slot_, 0],
+            ),
+            pltpu.make_async_copy(
+                src_hbm.at[bi_, pl.ds(start_, wr), :], xs2.at[slot_],
+                sems.at[slot_, 1],
+            ),
+        ]
+
+    @pl.when(lin == 0)
+    def _():
+        for cp in dmas(bi, gi, slot):
+            cp.start()
+
+    @pl.when(lin + 1 < total)
+    def _():
+        nlin = lin + 1
+        for cp in dmas(nlin // nstrips, jax.lax.rem(nlin, nstrips),
+                       jax.lax.rem(nlin, 2)):
+            cp.start()
+
+    for cp in dmas(bi, gi, slot):
+        cp.wait()
+
+    r0 = gi * tm
+    start = pl.multiple_of(jnp.clip(r0 - margin, 0, side - wr), 8)
+    dtype = buf_b.dtype
+
+    # --- Jacobi diffusion (semantics of _jacobi_kernel, src_dt path) ---
+    buf_c[:] = xs2[slot]  # the source buffer is the Jacobi guess
+    rhs_buf = rhs2.at[slot]
+    inv_b = jnp.asarray(1.0 / beta, dtype)
+    src_term = jnp.asarray(src_dt, dtype) * buf_c[:]
+    if fast:
+        rhs_buf[:] = (rhs_buf[:] + src_term) * inv_b
+    else:
+        rhs_buf[:] = rhs_buf[:] + src_term
+    a_c = jnp.asarray(alpha, dtype)
+    ab_c = jnp.asarray(alpha / beta, dtype)
+    b_c = jnp.asarray(beta, dtype)
+
+    def sweep(src, dst):
+        s = src[:]
+        sL = pltpu.roll(s, 1, 1)
+        sR = pltpu.roll(s, side - 1, 1)
+        sU = pltpu.roll(s, 1, 0)
+        sD = pltpu.roll(s, wr - 1, 0)
+        neigh = ((sL + sR) + sU) + sD
+        if fast:
+            dst[:] = rhs_buf[:] + ab_c * neigh
+        else:
+            dst[:] = (rhs_buf[:] + a_c * neigh) / b_c
+        _apply_bnd_window(dst, b, start, wr, side, corners=False)
+
+    def double_sweep(_, carry):
+        sweep(buf_c, buf_b)
+        sweep(buf_b, buf_c)
+        return carry
+
+    jax.lax.fori_loop(0, sweeps // 2, double_sweep, 0)
+    if sweeps % 2:
+        sweep(buf_c, buf_b)
+        buf_c[:] = buf_b[:]
+    # Corner cells ARE bilinear gather sources (x,y clamp to 0.5 pulls
+    # wall-adjacent backtraces onto the corner); fix them before gathering.
+    _apply_corners(buf_c, start, wr, side)
+
+    # --- Semi-Lagrangian gather from the swept window ---
+    dt0 = jnp.asarray(dt, dtype) * n
+    gr = (r0 + jax.lax.broadcasted_iota(jnp.int32, (tm, side), 0)).astype(dtype)
+    gc = jax.lax.broadcasted_iota(jnp.int32, (tm, side), 1).astype(dtype)
+    x = gc - dt0 * u_ref[0]
+    y = gr - dt0 * v_ref[0]
+    lo = jnp.asarray(0.5, dtype)
+    hi = jnp.asarray(n + 0.5, dtype)
+    x = jnp.clip(jnp.clip(x, lo, hi), gc - cmax, gc + cmax)
+    y = jnp.clip(jnp.clip(y, lo, hi), gr - cmax, gr + cmax)
+    j0 = x.astype(jnp.int32)
+    i0 = y.astype(jnp.int32)
+    s1 = x - j0.astype(dtype)
+    s0 = jnp.asarray(1.0, dtype) - s1
+    t1 = y - i0.astype(dtype)
+    t0 = jnp.asarray(1.0, dtype) - t1
+    nshift = 2 * cmax + 1
+    key = (i0 - gr.astype(jnp.int32) + cmax) * nshift + (
+        j0 - gc.astype(jnp.int32) + cmax
+    )
+
+    g00 = xs2.at[slot]   # dead since the guess was copied out
+    g01 = rhs2.at[slot]  # dead after the final sweep
+    g10 = buf_b          # dead after the final sweep
+    g11 = g11b
+    zero = jnp.zeros((tm, side), dtype)
+    g00[0:tm, :] = zero
+    g01[0:tm, :] = zero
+    g10[0:tm, :] = zero
+    g11[:] = zero
+    off = r0 - start  # dynamic (edge strips clip), 8-aligned
+
+    # One dynamic roll lands global row r0 at static local row 8 of wbuf.
+    shift = jax.lax.rem(jnp.int32(wr) + 8 - off, jnp.int32(wr))
+    wbuf[:] = pltpu.roll(buf_c[:], shift, 0)[0 : tm + 16, :]
+
+    for a_idx in range(nshift):
+        a = a_idx - cmax
+        v00, v01 = g00[0:tm, :], g01[0:tm, :]
+        v10, v11 = g10[0:tm, :], g11[:]
+        # Static (tm+1)-row slice: rows r0+a .. r0+a+tm; lane c reads c-cmax.
+        qq = pltpu.roll(wbuf[8 + a : 8 + a + tm + 1, :], cmax, 1)
+        for bbi in range(nshift):
+            m = key == (a_idx * nshift + bbi)
+            qn = pltpu.roll(qq, side - 1, 1)  # next shift (+1 lane src)
+            v00 = jnp.where(m, qq[0:tm, :], v00)
+            v01 = jnp.where(m, qn[0:tm, :], v01)
+            v10 = jnp.where(m, qq[1 : tm + 1, :], v10)
+            v11 = jnp.where(m, qn[1 : tm + 1, :], v11)
+            qq = qn
+        g00[0:tm, :] = v00
+        g01[0:tm, :] = v01
+        g10[0:tm, :] = v10
+        g11[:] = v11
+
+    ob = out_ref.at[0]
+    # Exact reference blend order (FluidSequential.c:136-137).
+    ob[:] = s0 * (t0 * g00[0:tm, :] + t1 * g10[0:tm, :]) + s1 * (
+        t0 * g01[0:tm, :] + t1 * g11[:]
+    )
+    _apply_bnd_window(ob, b, r0, tm, side)
+
+
+def _dens_tm(side: int, iters: int, cmax: int) -> int | None:
+    """Strip height for the fused dens kernel.  Its working set (6 sweep
+    windows + 4 gather accumulators + staging + u/v/out strips) is ~40%
+    larger than plain Jacobi's, so it picks its own height against the
+    sweep budget rather than following ``_pick_tm``."""
+    base = _pick_tm(side)
+    if base is None or base == side:
+        return None  # whole-grid case: separate kernels are already fast
+    for tm in (256, 128, 64, 32, 16, 8):
+        if tm > base or side % tm != 0 or side // tm < 4:
+            continue
+        wr = tm + 2 * _ceil8(iters + 1 + cmax)
+        if wr <= side and (6 * wr + 8 * tm + 16) * side * 4 <= _SWEEP_BUDGET:
+            return tm
+    return None
+
+
+def fused_dens_supported(side: int, iters: int, cmax: int) -> bool:
+    """Single-trip window must fit the grid, the staging buffer's static
+    slices need ``cmax <= 7``, and the working set must fit the raised
+    scoped-vmem cap."""
+    return cmax <= 7 and _dens_tm(side, iters, cmax) is not None
+
+
+def fused_dens_advect(
+    b: int,
+    src: jnp.ndarray,
+    base: jnp.ndarray,
+    u: jnp.ndarray,
+    v: jnp.ndarray,
+    alpha: float,
+    beta: float,
+    iters: int,
+    dt: float,
+    n: int,
+    *,
+    cmax: int = 4,
+    fast: bool = False,
+) -> jnp.ndarray:
+    """``advect(b, diffuse_src(b, src, base, ...), u, v)`` in one kernel —
+    the reference's back-to-back density pair (``FluidSequential.c:176-186``)
+    without the HBM round-trip between them."""
+    return _dens_fused_call(b, src, base, u, v, float(alpha), float(beta),
+                            iters, float(dt), n, cmax, fast)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("b", "alpha", "beta", "iters", "dt", "n", "cmax",
+                     "fast"),
+)
+def _dens_fused_call(b, src, base, u, v, alpha, beta, iters, dt, n, cmax,
+                     fast):
+    side = n + 2
+    tm = _dens_tm(side, iters, cmax)
+    assert tm is not None and tm != side
+    assert 1 <= cmax <= 7, "staging-buffer static slices need cmax <= 7"
+    margin = _ceil8(iters + 1 + cmax)
+    wr = tm + 2 * margin
+    assert wr <= side, "fused dens window exceeds grid"
+    squeeze = base.ndim == 2
+    if squeeze:
+        src = src.reshape(1, side, side)
+        base = base.reshape(1, side, side)
+        u = u.reshape(1, side, side)
+        v = v.reshape(1, side, side)
+    nb = base.shape[0]
+    nstrips = side // tm
+    kernel = functools.partial(
+        _dens_fused_kernel, b=b, alpha=alpha, beta=beta, sweeps=iters,
+        tm=tm, wr=wr, side=side, margin=margin, nstrips=nstrips,
+        total=nb * nstrips, n=n, dt=dt, cmax=cmax, src_dt=dt, fast=fast,
+    )
+    blk = pl.BlockSpec((1, tm, side), lambda bi, gi: (bi, gi, 0),
+                       memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        kernel,
+        grid=(nb, nstrips),
+        out_shape=jax.ShapeDtypeStruct((nb, side, side), base.dtype),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            blk,
+            blk,
+        ],
+        out_specs=blk,
+        scratch_shapes=[
+            pltpu.VMEM((2, wr, side), base.dtype),
+            pltpu.VMEM((2, wr, side), base.dtype),
+            pltpu.VMEM((wr, side), base.dtype),
+            pltpu.VMEM((wr, side), base.dtype),
+            pltpu.VMEM((tm, side), base.dtype),
+            pltpu.VMEM((tm + 16, side), base.dtype),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ],
+        interpret=INTERPRET,
+        # Same story as the fused projection: the gather epilogue's live
+        # values push the 20-iter working set past Mosaic's default 16MB
+        # (~53MB at 2048^2/20it with the pipelined blocked u/v/out strips).
+        compiler_params=None if INTERPRET else pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 2**20
+        ),
+    )(src, base, u, v)
+    return out.reshape(side, side) if squeeze else out
+
+
+# ---------------------------------------------------------------------------
 # Divergence and pressure-gradient kernels (1-halo stencils)
 # ---------------------------------------------------------------------------
 
@@ -849,9 +1179,14 @@ def _gradient_kernel(
 
 def _halo1_specs(side: int):
     """(tm, specs3) for a 1-halo stencil over row strips: three shifted
-    blocked inputs per halo'd operand (auto-pipelined; no manual DMA)."""
+    blocked inputs per halo'd operand (auto-pipelined; no manual DMA).
+
+    Strip height is capped at 128 independently of ``_pick_tm``: these
+    kernels have no sweep margin to amortize (overhead is a fixed 2 halo
+    rows), and Pallas double-buffers every blocked window, so gradient_p's
+    7 windows at tm=512/side=2048 would need 56MB of scoped VMEM."""
     tm = _pick_tm(side)
-    if tm == side:
+    if tm == side or tm > 128:
         for cand in (128, 64, 32, 16, 8):
             if side % cand == 0:
                 tm = cand
@@ -994,6 +1329,13 @@ def make_opset(cfg: SimConfig) -> OpSet:
         p = pressure_solve(div, iters)
         return gradient_p(u, v, p, n)
 
+    def diffuse_advect(b, src, base, u, v, alpha, beta, iters, dt, n):
+        if fused_dens_supported(n + 2, iters, cmax):
+            return fused_dens_advect(b, src, base, u, v, alpha, beta,
+                                     iters, dt, n, cmax=cmax, fast=fast)
+        d = diffuse_src(b, src, base, alpha, beta, iters, dt)
+        return advect(b, d, u, v, dt, n)
+
     return OpSet(
         diffuse=diffuse,
         advect=advect,
@@ -1003,4 +1345,5 @@ def make_opset(cfg: SimConfig) -> OpSet:
         advect_pair=advect_pair,
         project=project,
         diffuse_src=diffuse_src,
+        diffuse_advect=diffuse_advect,
     )

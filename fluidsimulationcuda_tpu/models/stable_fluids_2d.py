@@ -79,6 +79,9 @@ def dens_step(
     ops = get_ops(cfg)
     alpha = cfg.diffusion_alpha_diff
     beta = 1.0 + 4.0 * alpha
+    if ops.diffuse_advect is not None:
+        return ops.diffuse_advect(0, dens_src, dens, u, v, alpha, beta,
+                                  cfg.jacobi_iters, cfg.dt, cfg.n)
     dens = ops.diffuse_src(0, dens_src, dens, alpha, beta,
                            cfg.jacobi_iters, cfg.dt)
     return ops.advect(0, dens, u, v, cfg.dt, cfg.n)

@@ -204,3 +204,52 @@ def test_supports_rejects_non_8_divisible_side():
     assert po.supports(SimConfig(n=254))       # side 256
     assert po.supports(SimConfig(n=2046))      # side 2048 (headline)
     assert po.supports(SimConfig(n=8190))      # side 8192 (reference config)
+
+
+@pytest.mark.parametrize("iters,cmax", [(6, 2), (5, 1), (20, 1)])
+def test_fused_dens_advect(strip_mode, iters, cmax):
+    """Whole density pair (diffuse_src -> advect) fused in one kernel must
+    match the two-kernel composition, including wall strips and the
+    corner-as-gather-source case."""
+    side = 96  # 6 strips of 16; wr = 16 + 2*ceil8(iters+1+cmax) <= side
+    n = side - 2
+    src, base = _grid(20, side, 0.5), _grid(21, side)
+    u = _grid(22, side, 1.5)
+    v = _grid(23, side, 1.5)
+    alpha, beta, dt = 0.37, 1.0 + 4 * 0.37, 0.016
+    d = pallas_ops.fused_jacobi(0, src, base + dt * src, alpha, beta, iters)
+    want = pallas_ops.advect_shift(0, d, u, v, dt, n, cmax=cmax)
+    got = pallas_ops.fused_dens_advect(0, src, base, u, v, alpha, beta,
+                                       iters, dt, n, cmax=cmax)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=1e-5, atol=2e-5
+    )
+
+
+def test_fused_dens_advect_batched(strip_mode):
+    side, nb = 96, 2
+    n = side - 2
+    src = jnp.stack([_grid(30, side, 0.5), _grid(31, side, 0.5)])
+    base = jnp.stack([_grid(32, side), _grid(33, side)])
+    u = jnp.stack([_grid(34, side, 1.5), _grid(35, side, 1.5)])
+    v = jnp.stack([_grid(36, side, 1.5), _grid(37, side, 1.5)])
+    alpha, beta, dt, iters = 0.25, 2.0, 0.016, 7
+    d = pallas_ops.fused_jacobi(0, src, base + dt * src, alpha, beta, iters)
+    want = jnp.stack([
+        pallas_ops.advect_shift(0, d[i], u[i], v[i], dt, n, cmax=2)
+        for i in range(nb)
+    ])
+    got = pallas_ops.fused_dens_advect(0, src, base, u, v, alpha, beta,
+                                       iters, dt, n, cmax=2)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=1e-5, atol=2e-5
+    )
+
+
+def test_fused_dens_supported_gates():
+    # whole-grid strip -> unsupported (separate kernels already fast)
+    assert not pallas_ops.fused_dens_supported(128, 20, 2)
+    # headline config: strips of 128, margin 24 -> supported
+    assert pallas_ops.fused_dens_supported(2048, 20, 2)
+    # window deeper than the grid -> unsupported
+    assert not pallas_ops.fused_dens_supported(2048, 900, 2)
