@@ -232,12 +232,18 @@ def main():
         from fluidsimulationcuda_tpu.models.batched import generate_trajectories
 
         cfg = SimConfig(n=254, jacobi_iters=20, max_courant=2)
-        generate_trajectories(jax.random.key(0), cfg, 64, 5)  # warm compile
+        # Warm with the SAME step count: the scan length is baked into the
+        # compiled program, so a different warm length would leave the real
+        # compile inside the timed region.
+        generate_trajectories(jax.random.key(0), cfg, 64, 20)
         t0 = time.perf_counter()
-        final, _ = generate_trajectories(jax.random.key(1), cfg, 64, 20)
+        final, _, dmax = generate_trajectories(jax.random.key(1), cfg, 64, 20)
         _ = float(final.dens.ravel()[0])
         dt = time.perf_counter() - t0
-        check("datagen 64x256^2x20", dt < 5.0, f"{dt:.2f}s")
+        rate = 64 * 254 * 254 * 20 / dt / 1e6
+        check("datagen 64x256^2x20", dt < 5.0, f"{dt:.2f}s ({rate:.0f} Mcell/s)")
+        check("datagen audited exact", float(dmax) < cfg.max_courant,
+              f"max disp {float(dmax):.3f} < {cfg.max_courant}")
 
     print(f"\n{len(FAILURES)} failure(s)")
     sys.exit(1 if FAILURES else 0)

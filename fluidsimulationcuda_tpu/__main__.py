@@ -125,14 +125,27 @@ def cmd_datagen(args) -> None:
     from .models.batched import generate_trajectories
 
     cfg = _cfg(args)
-    final, snaps = generate_trajectories(
-        jax.random.key(args.seed), cfg, args.batch, args.steps,
+    key = jax.random.key(args.seed)
+    if not args.no_auto_cmax:
+        from .models.batched import select_cmax_batched
+
+        cmax, probed = select_cmax_batched(key, cfg, args.batch)
+        cfg = cfg.replace(max_courant=min(cmax, cfg.max_courant))
+        print(f"auto-selected advect window cmax={cfg.max_courant} "
+              f"(probed displacement {probed:.3f} cells)", file=sys.stderr)
+    final, snaps, max_disp = generate_trajectories(
+        key, cfg, args.batch, args.steps,
         snapshot_every=args.snapshot_every,
     )
     payload = {"dens_final": np.asarray(final.dens)}
     if snaps is not None:
         payload["dens_snapshots"] = np.asarray(snaps)
     np.savez_compressed(args.out, **payload)
+    d = float(max_disp)
+    verdict = ("exact" if d < cfg.max_courant
+               else "CLAMPED — rerun with a higher --max-courant")
+    print(f"audited max backtrace displacement {d:.3f} cells "
+          f"({verdict} for window {cfg.max_courant})", file=sys.stderr)
     print(f"wrote {args.out}: "
           + ", ".join(f"{k}{v.shape}" for k, v in payload.items()),
           file=sys.stderr)
@@ -173,6 +186,9 @@ def main(argv=None) -> None:
     p.add_argument("--steps", type=int, default=20)
     p.add_argument("--snapshot-every", type=int, default=0)
     p.add_argument("--out", default="trajectories.npz")
+    p.add_argument("--no-auto-cmax", action="store_true",
+                   help="keep --max-courant instead of probing the "
+                        "trajectory for the smallest exact gather window")
     p.set_defaults(fn=cmd_datagen)
 
     p = sub.add_parser("info", help="environment info")

@@ -19,9 +19,12 @@ import jax.numpy as jnp
 
 from ..core.config import SimConfig
 from ..core.state import reference_init
-from .stable_fluids_2d import step
+from .stable_fluids_2d import step, step_audited
 
-__all__ = ["batched_init", "make_batched_step_fn", "generate_trajectories"]
+__all__ = [
+    "batched_init", "make_batched_step_fn", "generate_trajectories",
+    "select_cmax_batched",
+]
 
 
 def batched_init(key: jax.Array, cfg: SimConfig, batch: int):
@@ -59,6 +62,38 @@ def make_batched_step_fn(cfg: SimConfig) -> Callable:
     return jax.jit(jax.vmap(functools.partial(step, _batched_cfg(cfg))))
 
 
+def select_cmax_batched(
+    key: jax.Array,
+    cfg: SimConfig,
+    batch: int,
+    *,
+    probe_steps: int = 8,
+    margin: float = 0.25,
+) -> tuple[int, float]:
+    """Pick the smallest exact advection gather window for a datagen run.
+
+    Replays the first ``probe_steps`` of the trajectory through the
+    EXACT-gather jnp path (``ops/advect.py``, arbitrary displacement — the
+    true trajectory by construction, no grow-and-retry loop needed) while
+    auditing the max backtrace displacement, then returns the smallest
+    ``cmax`` with ``margin`` cells to spare.  Datagen displacement peaks at
+    injection and decays under viscosity, so the probe window sees the max;
+    the in-scan audit that ``generate_trajectories`` always carries verifies
+    this post-hoc for the full run.  Returns ``(cmax, probed_displacement)``.
+    """
+    exact_cfg = cfg.replace(backend="reference", advect_mode="exact")
+    state, sources = batched_init(key, exact_cfg, batch)
+    audited = jax.jit(jax.vmap(functools.partial(step_audited, exact_cfg)))
+    zeros = jax.tree.map(jnp.zeros_like, sources)
+    dmax = 0.0
+    for k in range(probe_steps):
+        state, d = audited(state, sources if k == 0 else zeros)
+        dmax = max(dmax, float(jnp.max(d)))
+    import math
+
+    return max(1, int(math.floor(dmax + margin)) + 1), dmax
+
+
 def generate_trajectories(
     key: jax.Array,
     cfg: SimConfig,
@@ -66,12 +101,27 @@ def generate_trajectories(
     num_steps: int,
     *,
     snapshot_every: int = 0,
+    auto_cmax: bool = False,
 ):
     """Run ``batch`` sims for ``num_steps`` (sources on step 1 only, like the
-    reference harness).  Returns the final batched state; with
-    ``snapshot_every=k`` also returns stacked density snapshots every k steps
-    (the datagen payload), shape ``(num_snaps, batch, side, side)``.
+    reference harness).  Returns ``(final_state, snapshots, max_disp)``:
+    the final batched state; with ``snapshot_every=k`` stacked density
+    snapshots every k steps (the datagen payload, shape
+    ``(num_snaps, batch, side, side)``), else None; and the max backtrace
+    displacement (cells) seen by any advection over the whole run — the
+    windowed gather was exact iff ``max_disp < cfg.max_courant``
+    (``FluidSequential.c:117-127`` clamp semantics; audit carried inside
+    the scan, two reductions per step — effectively free).
+
+    ``auto_cmax=True`` first probes the trajectory with the exact-gather
+    path and shrinks ``cfg.max_courant`` to the smallest exact window
+    (``select_cmax_batched``) — the gather cost is quadratic in the window,
+    so datagen's sub-cell displacements run ~4x faster than the cmax=4
+    default.
     """
+    if auto_cmax:
+        cmax, _ = select_cmax_batched(key, cfg, batch)
+        cfg = cfg.replace(max_courant=min(cmax, cfg.max_courant))
     state, sources = batched_init(key, cfg, batch)
     runner = _trajectory_runner(cfg, num_steps, snapshot_every)
     return runner(state, sources)
@@ -83,9 +133,13 @@ def _trajectory_runner(cfg: SimConfig, num_steps: int, snapshot_every: int):
     jit per call would re-trace the whole scan every time (measured ~19s of
     pure tracing overhead per datagen call)."""
     if _use_batched_pallas(cfg):
-        vstep = functools.partial(step, cfg.replace(backend="pallas"))
+        vstep = functools.partial(step_audited, cfg.replace(backend="pallas"))
     else:
-        vstep = jax.vmap(functools.partial(step, _batched_cfg(cfg)))
+        _vs = jax.vmap(functools.partial(step_audited, _batched_cfg(cfg)))
+
+        def vstep(st, src):
+            st, d = _vs(st, src)
+            return st, jnp.max(d)
 
     @jax.jit
     def run(state, sources):
@@ -96,12 +150,20 @@ def _trajectory_runner(cfg: SimConfig, num_steps: int, snapshot_every: int):
                 lambda s, z: jnp.where(k == 0, s, z), sources, zeros
             )
 
+        # Audit accumulator stays f32: displacements are O(1) cells and a
+        # bf16 running max would quantize the exactness evidence.
+        dm0 = jnp.zeros((), jnp.float32)
+
         if not snapshot_every:
             def body(carry, k):
-                return vstep(carry, src_at(k)), None
+                st, dm = carry
+                st, d = vstep(st, src_at(k))
+                return (st, jnp.maximum(dm, d)), None
 
-            final, _ = jax.lax.scan(body, state, jnp.arange(num_steps))
-            return final, None
+            (final, dmax), _ = jax.lax.scan(
+                body, (state, dm0), jnp.arange(num_steps)
+            )
+            return final, None, dmax
 
         # Snapshots accumulate into a (num_snaps, ...) carry buffer via
         # dynamic_update_slice — peak memory scales with num_snaps, not
@@ -113,8 +175,8 @@ def _trajectory_runner(cfg: SimConfig, num_steps: int, snapshot_every: int):
         )
 
         def body(carry, k):
-            st, buf = carry
-            st = vstep(st, src_at(k))
+            st, buf, dm = carry
+            st, d = vstep(st, src_at(k))
             idx = (k + 1) // snapshot_every - 1
             buf = jax.lax.cond(
                 ((k + 1) % snapshot_every == 0) & (idx < num_snaps),
@@ -124,11 +186,11 @@ def _trajectory_runner(cfg: SimConfig, num_steps: int, snapshot_every: int):
                 lambda b: b,
                 buf,
             )
-            return (st, buf), None
+            return (st, buf, jnp.maximum(dm, d)), None
 
-        (final, buf), _ = jax.lax.scan(
-            body, (state, buf0), jnp.arange(num_steps)
+        (final, buf, dmax), _ = jax.lax.scan(
+            body, (state, buf0, dm0), jnp.arange(num_steps)
         )
-        return final, buf[:num_snaps]
+        return final, buf[:num_snaps], dmax
 
     return run

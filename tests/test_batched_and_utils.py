@@ -49,9 +49,10 @@ def test_batched_sims_are_independent():
 
 def test_generate_trajectories_snapshots():
     cfg = SimConfig(n=14, jacobi_iters=4, backend="reference")
-    final, snaps = generate_trajectories(
+    final, snaps, dmax = generate_trajectories(
         jax.random.key(2), cfg, batch=2, num_steps=6, snapshot_every=3
     )
+    assert 0.0 < float(dmax) < cfg.max_courant  # audited exact regime
     assert snaps.shape == (2, 2, 16, 16)  # 2 snapshots x 2 sims
     np.testing.assert_allclose(
         np.asarray(snaps[-1]), np.asarray(final.dens), rtol=1e-6, atol=1e-6
@@ -128,7 +129,7 @@ def test_batched_pallas_kernels_match_vmapped_reference():
 def test_generate_trajectories_snapshot_cadence_non_multiple():
     """num_steps not a multiple of snapshot_every: floor(num/every) snaps."""
     cfg = SimConfig(n=14, jacobi_iters=4, backend="reference")
-    final, snaps = generate_trajectories(
+    final, snaps, _ = generate_trajectories(
         jax.random.key(6), cfg, batch=2, num_steps=7, snapshot_every=3
     )
     assert snaps.shape == (2, 2, 16, 16)  # steps 3 and 6
@@ -180,3 +181,25 @@ def test_checkpoint_newer_schema_rejected(tmp_path):
     np.savez_compressed(p, **payload)
     with pytest.raises(ValueError, match="schema version"):
         load_checkpoint(p)
+
+
+def test_select_cmax_batched_picks_small_exact_window():
+    """The probe must pick the smallest window covering the audited
+    displacement, and the windowed trajectory at that cmax must agree with
+    the exact-gather trajectory (the definition of 'exact regime')."""
+    from fluidsimulationcuda_tpu.models.batched import select_cmax_batched
+
+    cfg = SimConfig(n=30, jacobi_iters=4, backend="reference")
+    cmax, probed = select_cmax_batched(
+        jax.random.key(3), cfg, batch=2, probe_steps=4
+    )
+    assert cmax >= 1 and probed + 0.25 < cmax
+
+    win = cfg.replace(max_courant=cmax, advect_mode="windowed")
+    exact = cfg.replace(advect_mode="exact")
+    f_w, _, dmax = generate_trajectories(jax.random.key(3), win, 2, 4)
+    f_e, _, _ = generate_trajectories(jax.random.key(3), exact, 2, 4)
+    assert float(dmax) < cmax
+    np.testing.assert_allclose(
+        np.asarray(f_w.dens), np.asarray(f_e.dens), rtol=1e-5, atol=1e-6
+    )
