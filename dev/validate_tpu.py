@@ -193,6 +193,64 @@ def compiled_differential(n=2046, iters=20):
     check("diff slab advect compiled vs jnp", d == 0.0, f"{d:.2e}")
 
 
+def bf16_differential(n=254, iters=20):
+    """bf16 storage mode, compiled on hardware: each kernel vs its f32
+    twin on the same (bf16-rounded) inputs.  Sweeps/gathers run f32 in
+    VMEM, so differences are bounded by output rounding (~4e-3 on O(1)
+    data), NOT accumulated sweep error."""
+    import jax.numpy as jnp
+
+    from fluidsimulationcuda_tpu.kernels import pallas_ops as po
+    from fluidsimulationcuda_tpu.ops.advect import advect_windowed
+
+    side = n + 2
+    rng = np.random.default_rng(3)
+
+    def mk(s=1.0):
+        a = rng.uniform(-1.0, 1.0, (side, side)).astype(np.float32) * s
+        return jnp.asarray(a).astype(jnp.bfloat16)
+
+    def maxd(a, b):
+        return float(jnp.max(jnp.abs(
+            a.astype(jnp.float32) - b.astype(jnp.float32))))
+
+    x, x0, u, v = mk(), mk(), mk(1.5), mk(1.5)
+    f32 = lambda t: t.astype(jnp.float32)
+    dt = 0.08
+
+    d = maxd(po.fused_jacobi(0, x, x0, 0.42, 2.68, iters),
+             po.fused_jacobi(0, f32(x), f32(x0), 0.42, 2.68, iters))
+    check("bf16 jacobi compiled vs f32 twin", d < 2e-2, f"{d:.2e}")
+
+    # Reference: the jnp windowed op on the f32 UPCAST of the same
+    # bf16-rounded inputs (XLA-TPU pathologically fails to compile the
+    # 25-slice masked gather on bf16 directly; the values are identical
+    # either way, so the kernel must match to one output rounding).
+    got = po.advect_shift(0, x, u, v, dt, n, cmax=2)
+    want = advect_windowed(0, f32(x), f32(u), f32(v), dt, n, 2)
+    d = maxd(got, want)
+    check("bf16 advect compiled vs jnp-f32 twin", d < 1e-2, f"{d:.2e}")
+
+    uo, vo = po.fused_project(u, v, n, iters)
+    uo32, vo32 = po.fused_project(f32(u), f32(v), n, iters)
+    d = max(maxd(uo, uo32), maxd(vo, vo32))
+    check("bf16 fused projection compiled vs f32 twin", d < 2e-2, f"{d:.2e}")
+
+    dv = po.divergence_p(u, v, n)
+    gu, gv = po.gradient_p(u, v, x, n)
+    ok = all(bool(jnp.isfinite(t.astype(jnp.float32)).all())
+             for t in (dv, gu, gv))
+    check("bf16 divergence/gradient compiled finite", ok)
+
+    au, av = po.advect_shift_fused((1, 2), (u, v), u, v, dt, n, cmax=2,
+                                   self_advect=True)
+    d = max(
+        maxd(au, advect_windowed(1, f32(u), f32(u), f32(v), dt, n, 2)),
+        maxd(av, advect_windowed(2, f32(v), f32(u), f32(v), dt, n, 2)),
+    )
+    check("bf16 advect pair compiled vs jnp-f32 twin", d < 1e-2, f"{d:.2e}")
+
+
 def perf_point(n, iters, cmax, expect_ms, steps=100):
     cfg = SimConfig(n=n, jacobi_iters=iters, backend="pallas",
                     max_courant=cmax)
@@ -226,6 +284,7 @@ def main():
     assert jax.default_backend() == "tpu", "run on a TPU"
     parity_100_steps()
     compiled_differential()
+    bf16_differential()
     perf_point(2046, 20, 2, expect_ms=6.0)
     if args.full:
         perf_point(8190, 40, 2, expect_ms=200.0, steps=15)

@@ -35,7 +35,11 @@ class SimConfig:
         every reported number states it.
       dtype: element type of the state grids.  The reference is float32
         throughout (``document/main.tex:345-350``); bfloat16 is supported as
-        a fast mode but changes numerics.
+        a STORAGE format (halves HBM footprint and snapshot IO; kernels
+        still compute f32 in VMEM, so throughput is unchanged on the
+        f32-native VPU — measured in docs/PERFORMANCE.md).  Non-parity:
+        fields round to bf16 at every HBM round-trip.  Requires
+        ``(n+2) %% 16 == 0`` on the pallas backend.
       backend: which compute path executes the hot ops —
         ``"reference"``: pure jnp/XLA ops (the differential-testing oracle
         for the kernels), ``"pallas"``: fused Pallas TPU kernels,

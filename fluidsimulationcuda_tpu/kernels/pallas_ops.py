@@ -90,12 +90,15 @@ def _pick_tm(side: int) -> int | None:
     return None
 
 
-def _advect_tm(side: int, nf: int, cap: int = None) -> int | None:
+def _advect_tm(side: int, nf: int, cap: int = None, st: int = 8) -> int | None:
     """Viable advection strip height, or None.  Mirrors the selection in
-    ``_advect_call``: the strip must divide ``side`` and its blocked windows
+    ``_advect_call``: the strip must divide ``side``, be a multiple of the
+    sublane tile ``st`` (blocked-spec row offsets), and its blocked windows
     + accumulators + Mosaic stack must fit the VMEM budget."""
     rows_per_tm = 36 if nf == 1 else 50
     for cand in ((_ADVECT_TM if cap is None else cap), 128, 64, 32, 16, 8):
+        if cand % st != 0:
+            continue
         if side % cand == 0 and rows_per_tm * cand * side * 4 <= _VMEM_BUDGET:
             return cand
     return None
@@ -103,22 +106,27 @@ def _advect_tm(side: int, nf: int, cap: int = None) -> int | None:
 
 def supports(cfg: SimConfig) -> bool:
     # side >= 128: full lane tiles (smaller grids trip Mosaic's (1,128)
-    # tiling on column slices, and XLA handles them fine anyway).  f32 only:
-    # the 8-row margins/strips assume (8,128) tiling (bf16 needs 16-row).
-    # side % 8 == 0: every kernel's strip heights and sublane margins are
-    # 8-aligned; an 8-divisible side also guarantees the advect/halo1 strip
-    # searches find a divisor (cand=8 always viable within budget).
+    # tiling on column slices, and XLA handles them fine anyway).
+    # side % sublane-tile == 0 (8 for f32, 16 for bf16): every kernel's
+    # strip heights, sublane margins and DMA row offsets are tile-aligned,
+    # and a tile-divisible side guarantees the advect/halo1 strip searches
+    # find a divisor.  bf16 is a STORAGE format: HBM arrays and DMA move
+    # bf16, all VMEM sweep/gather arithmetic runs f32 (`tpu.dynamic_rotate`
+    # — every pltpu.roll — is unimplemented for bf16 in Mosaic, and the VPU
+    # is f32-native so bf16 math would gain nothing; see docs/PERFORMANCE).
     import jax.numpy as jnp
     side = cfg.n + 2
+    if cfg.dtype not in (jnp.float32, jnp.bfloat16):
+        return False
+    st = _sub(cfg.dtype)
     return (
         cfg.ndim == 2
         and side >= 128
-        and side % 8 == 0
-        and cfg.dtype == jnp.float32
+        and side % st == 0
         and _pick_tm(side) is not None
         # nf=2 (pair advection) needs no gate: make_opset falls back to two
         # single advects when the fused pair has no viable strip (8192^2).
-        and _advect_tm(side, 1) is not None
+        and _advect_tm(side, 1, st=st) is not None
     )
 
 
@@ -187,21 +195,35 @@ def _apply_corners(dst, start, wr: int, side: int):
 # ---------------------------------------------------------------------------
 
 
+def _sub(dtype) -> int:
+    """Sublane tile height for ``dtype``: (8, 128) for 4-byte types,
+    (16, 128) for 2-byte (bf16 packs row pairs).  Every margin and DMA row
+    offset must be a multiple of this."""
+    return 8 if jnp.dtype(dtype).itemsize == 4 else 16
+
+
+def _ceil_t(x: int, t: int) -> int:
+    return -(-x // t) * t
+
+
 def _ceil8(x: int) -> int:
-    return -(-x // 8) * 8
+    return _ceil_t(x, 8)
 
 
 def _jacobi_kernel(
     x_hbm, rhs_hbm, out_ref, xs2, rhs2, buf_b, buf_c, sems,
     *, b: int, alpha: float, beta: float, sweeps: int,
     tm: int, wr: int, side: int, zero_init: bool, margin: int,
-    nstrips: int, total: int,
+    nstrips: int, total: int, st: int = 8,
     src_dt: float | None = None, fast: bool = False,
 ):
     # Grid is (batch, strips): batched simulations are independent grids
     # stacked on a leading axis (unbatched arrays are reshaped to B=1).
     # Input windows are double-buffered: while this strip sweeps, the next
     # strip's x/rhs windows stream in (the DMA wait was ~25% of the kernel).
+    # xs2/rhs2 hold the HBM dtype (bf16 mode DMAs bf16); the work buffers
+    # buf_b/buf_c are always f32 — Mosaic has no bf16 rotate, and sweeping
+    # in f32 costs nothing extra on the f32-native VPU.
     bi = pl.program_id(0)
     gi = pl.program_id(1)
     lin = bi * nstrips + gi
@@ -209,9 +231,9 @@ def _jacobi_kernel(
 
     def dmas(bi_, gi_, slot_):
         r0_ = gi_ * tm
-        # margin is 8-aligned and >= sweeps+1, so offsets stay provably
-        # 8-aligned (a Mosaic requirement for sublane slices).
-        start_ = pl.multiple_of(jnp.clip(r0_ - margin, 0, side - wr), 8)
+        # margin is tile-aligned and >= sweeps+1, so offsets stay provably
+        # tile-aligned (a Mosaic requirement for sublane slices).
+        start_ = pl.multiple_of(jnp.clip(r0_ - margin, 0, side - wr), st)
         cps = [
             pltpu.make_async_copy(
                 rhs_hbm.at[bi_, pl.ds(start_, wr), :], rhs2.at[slot_],
@@ -244,12 +266,13 @@ def _jacobi_kernel(
         cp.wait()
 
     r0 = gi * tm
-    start = pl.multiple_of(jnp.clip(r0 - margin, 0, side - wr), 8)
+    start = pl.multiple_of(jnp.clip(r0 - margin, 0, side - wr), st)
     dt = buf_b.dtype
+    rdt = rhs2.dtype
     if zero_init:
         buf_c[:] = jnp.zeros((wr, side), dt)
     else:
-        buf_c[:] = xs2[slot]
+        buf_c[:] = xs2[slot].astype(dt)
     rhs_buf = rhs2.at[slot]
     inv_b = jnp.asarray(1.0 / beta, dt)
     if src_dt is not None:
@@ -257,14 +280,15 @@ def _jacobi_kernel(
         # already resident as the Jacobi guess, so rhs = base + dt*src costs
         # one VMEM op and removes a whole XLA pass + HBM read.  The sum is
         # staged in-place in the rhs slot (consumed before the slot is
-        # refilled two strips later).
+        # refilled two strips later; bf16 mode rounds it back to storage
+        # precision — the rhs came from bf16 HBM anyway).
         src_term = jnp.asarray(src_dt, dt) * buf_c[:]
         if fast:
-            rhs_buf[:] = (rhs_buf[:] + src_term) * inv_b
+            rhs_buf[:] = ((rhs_buf[:] + src_term) * inv_b).astype(rdt)
         else:
-            rhs_buf[:] = rhs_buf[:] + src_term
+            rhs_buf[:] = (rhs_buf[:] + src_term).astype(rdt)
     elif fast:
-        rhs_buf[:] = rhs_buf[:] * inv_b
+        rhs_buf[:] = (rhs_buf[:] * inv_b).astype(rdt)
     a_c = jnp.asarray(alpha, dt)
     ab_c = jnp.asarray(alpha / beta, dt)
     b_c = jnp.asarray(beta, dt)
@@ -304,7 +328,9 @@ def _jacobi_kernel(
         buf_c[:] = buf_b[:]
 
     ob = out_ref.at[0]
-    ob[:] = buf_c[pl.ds(pl.multiple_of(r0 - start, 8), tm), :]
+    ob[:] = buf_c[pl.ds(pl.multiple_of(r0 - start, st), tm), :].astype(
+        out_ref.dtype
+    )
     _apply_corners(ob, r0, tm, side)
 
 
@@ -332,12 +358,13 @@ def fused_jacobi(
     x = x_init
     first = True
     remaining = iters
+    st = _sub(x0.dtype)
     if tm != side:
-        # Fused window (tm + 2*ceil8(k+1) rows) must fit inside the grid
+        # Fused window (tm + 2*ceil(k+1) rows) must fit inside the grid
         # AND the 6-window working set must fit VMEM.
-        margin_cap = ((side - tm) // 2) // 8 * 8
-        vmem_margin = ((_SWEEP_BUDGET // (side * 4) - 8 * tm) // 12) // 8 * 8
-        margin_cap = min(margin_cap, max(vmem_margin, 8))
+        margin_cap = ((side - tm) // 2) // st * st
+        vmem_margin = ((_SWEEP_BUDGET // (side * 4) - 8 * tm) // 12) // st * st
+        margin_cap = min(margin_cap, max(vmem_margin, st))
         max_fused = max(1, min(max_fused, margin_cap - 1))
     while remaining > 0:
         k = min(remaining, max_fused)
@@ -358,11 +385,12 @@ def fused_jacobi(
 )
 def _fused_jacobi_call(b, x, x0, alpha, beta, sweeps, tm, side, zero_init,
                        src_dt=None, fast=False):
+    st = _sub(x0.dtype)
     if tm == side:
         wr = side  # whole grid in one window; margin condition is vacuous
         margin = 0
     else:
-        margin = _ceil8(sweeps + 1)
+        margin = _ceil_t(sweeps + 1, st)
         wr = tm + 2 * margin
         assert wr <= side, "fused sweep window exceeds grid"
     squeeze = x0.ndim == 2
@@ -374,7 +402,7 @@ def _fused_jacobi_call(b, x, x0, alpha, beta, sweeps, tm, side, zero_init,
     kernel = functools.partial(
         _jacobi_kernel, b=b, alpha=alpha, beta=beta, sweeps=sweeps,
         tm=tm, wr=wr, side=side, zero_init=zero_init, margin=margin,
-        nstrips=nstrips, total=nb * nstrips,
+        nstrips=nstrips, total=nb * nstrips, st=st,
         src_dt=src_dt, fast=fast,
     )
     out = pl.pallas_call(
@@ -390,8 +418,8 @@ def _fused_jacobi_call(b, x, x0, alpha, beta, sweeps, tm, side, zero_init,
         scratch_shapes=[
             pltpu.VMEM((2, wr, side), x0.dtype),
             pltpu.VMEM((2, wr, side), x0.dtype),
-            pltpu.VMEM((wr, side), x0.dtype),
-            pltpu.VMEM((wr, side), x0.dtype),
+            pltpu.VMEM((wr, side), jnp.float32),
+            pltpu.VMEM((wr, side), jnp.float32),
             pltpu.SemaphoreType.DMA((2, 2)),
         ],
         interpret=INTERPRET,
@@ -408,7 +436,7 @@ def _fused_jacobi_call(b, x, x0, alpha, beta, sweeps, tm, side, zero_init,
 def _project_kernel(
     u_hbm, v_hbm, uout, vout, ubuf2, vbuf2, rhs_buf, p_a, p_b, sems,
     *, n: int, iters: int, tm: int, wr: int, side: int, margin: int,
-    nstrips: int, total: int,
+    nstrips: int, total: int, st: int = 8,
 ):
     """Whole projection (``FluidSequential.c:213-226``) in one kernel per
     strip: divergence computed in-window, ``iters`` pressure sweeps in VMEM,
@@ -432,7 +460,7 @@ def _project_kernel(
 
     def dmas(bi_, gi_, slot_):
         start_ = pl.multiple_of(
-            jnp.clip(gi_ * tm - margin, 0, side - wr), 8
+            jnp.clip(gi_ * tm - margin, 0, side - wr), st
         )
         return [
             pltpu.make_async_copy(
@@ -461,7 +489,7 @@ def _project_kernel(
         cp.wait()
 
     r0 = gi * tm
-    start = pl.multiple_of(jnp.clip(r0 - margin, 0, side - wr), 8)
+    start = pl.multiple_of(jnp.clip(r0 - margin, 0, side - wr), st)
     ubuf = ubuf2.at[slot]
     vbuf = vbuf2.at[slot]
 
@@ -471,8 +499,9 @@ def _project_kernel(
 
     # Divergence on the whole window via static rolls (wrap garbage at the
     # two window edge rows only — u/v interior rows are real HBM data).
-    uu = ubuf[:]
-    vv = vbuf[:]
+    # bf16 mode: the windows arrive bf16; rolls and sweeps run f32.
+    uu = ubuf[:].astype(dt)
+    vv = vbuf[:].astype(dt)
     du = pltpu.roll(uu, side - 1, 1) - pltpu.roll(uu, 1, 1)
     dv = pltpu.roll(vv, wr - 1, 0) - pltpu.roll(vv, 1, 0)
     rhs_buf[:] = (jnp.asarray(-0.5, dt) * h) * (du + dv)
@@ -505,29 +534,29 @@ def _project_kernel(
     # Gradient subtraction (lastProject, FluidSequential.c:161-173) on the
     # output strip.  Aligned ref reads (no dynamic_slice on values in
     # Mosaic); row-shifted views staged through p_b.
-    off = pl.multiple_of(r0 - start, 8)
+    off = pl.multiple_of(r0 - start, st)
     p_c = p_a[pl.ds(off, tm), :]
     p_b[:] = pltpu.roll(p_a[:], 1, 0)       # p_b[r] = p[r-1] (up neighbor)
     p_up = p_b[pl.ds(off, tm), :]
     p_b[:] = pltpu.roll(p_a[:], wr - 1, 0)  # p_b[r] = p[r+1] (down neighbor)
     p_dn = p_b[pl.ds(off, tm), :]
     dp = pltpu.roll(p_c, side - 1, 1) - pltpu.roll(p_c, 1, 1)
-    u_c = ubuf[pl.ds(off, tm), :]
-    v_c = vbuf[pl.ds(off, tm), :]
+    u_c = ubuf[pl.ds(off, tm), :].astype(dt)
+    v_c = vbuf[pl.ds(off, tm), :].astype(dt)
     uo, vo = uout.at[0], vout.at[0]
-    uo[:] = u_c - (half * dp) / h
-    vo[:] = v_c - (half * (p_dn - p_up)) / h
+    uo[:] = (u_c - (half * dp) / h).astype(uout.dtype)
+    vo[:] = (v_c - (half * (p_dn - p_up)) / h).astype(vout.dtype)
     _apply_bnd_window(uo, 1, r0, tm, side)
     _apply_bnd_window(vo, 2, r0, tm, side)
 
 
-def fused_project_supported(side: int, iters: int) -> bool:
+def fused_project_supported(side: int, iters: int, st: int = 8) -> bool:
     tm = _pick_tm(side)
     if tm is None:
         return False
     if tm == side:
         return True
-    margin = _ceil8(iters + 3)
+    margin = _ceil_t(iters + 3, st)
     while 7 * (tm + 2 * margin) * side * 4 > _SWEEP_BUDGET and tm > 32:
         tm //= 2
     wr = tm + 2 * margin
@@ -542,6 +571,7 @@ def fused_project(u, v, n: int, iters: int):
 @functools.partial(jax.jit, static_argnames=("n", "iters"))
 def _fused_project_call(u, v, n, iters):
     side = n + 2
+    st = _sub(u.dtype)
     tm = _pick_tm(side)
     assert tm is not None
     if tm == side:
@@ -549,9 +579,9 @@ def _fused_project_call(u, v, n, iters):
         wr = side
     else:
         # 5 window buffers instead of 3: shrink the strip if needed.
-        while 7 * (tm + 2 * _ceil8(iters + 3)) * side * 4 > _SWEEP_BUDGET and tm > 32:
+        while 7 * (tm + 2 * _ceil_t(iters + 3, st)) * side * 4 > _SWEEP_BUDGET and tm > 32:
             tm //= 2
-        margin = _ceil8(iters + 3)
+        margin = _ceil_t(iters + 3, st)
         wr = tm + 2 * margin
         if wr > side:
             # Small grid relative to iters: whole grid in one strip.
@@ -564,7 +594,7 @@ def _fused_project_call(u, v, n, iters):
     nstrips = side // tm
     kernel = functools.partial(
         _project_kernel, n=n, iters=iters, tm=tm, wr=wr, side=side,
-        margin=margin, nstrips=nstrips, total=nb * nstrips,
+        margin=margin, nstrips=nstrips, total=nb * nstrips, st=st,
     )
     blk = pl.BlockSpec((1, tm, side), lambda bi, gi: (bi, gi, 0),
                        memory_space=pltpu.VMEM)
@@ -580,9 +610,9 @@ def _fused_project_call(u, v, n, iters):
         scratch_shapes=[
             pltpu.VMEM((2, wr, side), u.dtype),
             pltpu.VMEM((2, wr, side), u.dtype),
-            pltpu.VMEM((wr, side), u.dtype),
-            pltpu.VMEM((wr, side), u.dtype),
-            pltpu.VMEM((wr, side), u.dtype),
+            pltpu.VMEM((wr, side), jnp.float32),
+            pltpu.VMEM((wr, side), jnp.float32),
+            pltpu.VMEM((wr, side), jnp.float32),
             pltpu.SemaphoreType.DMA((2, 2)),
         ],
         interpret=INTERPRET,
@@ -625,14 +655,19 @@ def _advect_kernel(
     gi = pl.program_id(1)
     r0 = gi * tm
 
-    dtype = u_ref.dtype
+    # Gather math is ALWAYS f32, whatever the storage dtype: global row
+    # indices up to side-1 are not representable in bf16 (spacing 16 at
+    # 2048), and Mosaic has no bf16 rotate anyway.  bf16 inputs are
+    # upcast as they enter the window; the blend result is cast back on
+    # the way out.
+    dtype = jnp.float32
     dt0 = jnp.asarray(dt, dtype) * n
     # Global coordinates of this strip's rows/cols.
     gr = (r0 + jax.lax.broadcasted_iota(jnp.int32, (tm, side), 0)).astype(dtype)
     gc = jax.lax.broadcasted_iota(jnp.int32, (tm, side), 1).astype(dtype)
 
-    x = gc - dt0 * u_ref[0]
-    y = gr - dt0 * v_ref[0]
+    x = gc - dt0 * u_ref[0].astype(dtype)
+    y = gr - dt0 * v_ref[0].astype(dtype)
     lo = jnp.asarray(0.5, dtype)
     hi = jnp.asarray(n + 0.5, dtype)
     x = jnp.clip(x, lo, hi)
@@ -667,9 +702,9 @@ def _advect_kernel(
     h3 = 3 * tm
     for f in range(nf):
         m1, c0, p1 = blocks[3 * f : 3 * f + 3]
-        wbuf[0:tm, lpad : lpad + side] = m1[0]
-        wbuf[tm : 2 * tm, lpad : lpad + side] = c0[0]
-        wbuf[2 * tm : h3, lpad : lpad + side] = p1[0]
+        wbuf[0:tm, lpad : lpad + side] = m1[0].astype(dtype)
+        wbuf[tm : 2 * tm, lpad : lpad + side] = c0[0].astype(dtype)
+        wbuf[2 * tm : h3, lpad : lpad + side] = p1[0].astype(dtype)
         zero = jnp.zeros((tm, side), dtype)
         g00[:] = zero
         g01[:] = zero
@@ -721,9 +756,10 @@ def _advect_kernel(
             jax.lax.fori_loop(0, nshift, row_term, 0)
 
         ob = out_refs[f].at[0]
-        ob[:] = s0 * (t0 * g00[:] + t1 * g10[:]) + s1 * (
-            t0 * g01[:] + t1 * g11[:]
-        )
+        ob[:] = (
+            s0 * (t0 * g00[:] + t1 * g10[:])
+            + s1 * (t0 * g01[:] + t1 * g11[:])
+        ).astype(out_refs[f].dtype)
         _apply_bnd_window(ob, bs[f], r0, tm, side)
 
 
@@ -769,12 +805,13 @@ def _advect_call(bs, d0s, dt, n, cmax, self_adv, u, v):
     nf = len(d0s)
     assert len(bs) == nf
     side = n + 2
+    st = _sub(d0s[0].dtype)
     tm = _pick_tm(side)
     assert tm is not None
     # Strip height bounded by VMEM (blocked windows + accumulators + Mosaic
     # stack all scale with tm x nf x side); ~19/26 full-width rows of live
     # data per output row, empirically calibrated against the 16MB limit.
-    tm = _advect_tm(side, nf)
+    tm = _advect_tm(side, nf, st=st)
     if tm is None:
         raise ValueError(f"advect: no viable strip height for side={side}")
     assert cmax + 1 <= tm
@@ -832,11 +869,11 @@ def _advect_call(bs, d0s, dt, n, cmax, self_adv, u, v):
         in_specs=in_specs,
         out_specs=tuple(blk(0) for _ in range(nf)),
         scratch_shapes=[
-            pltpu.VMEM((3 * tm, wide), dtype),
-            pltpu.VMEM((tm, side), dtype),
-            pltpu.VMEM((tm, side), dtype),
-            pltpu.VMEM((tm, side), dtype),
-            pltpu.VMEM((tm, side), dtype),
+            pltpu.VMEM((3 * tm, wide), jnp.float32),
+            pltpu.VMEM((tm, side), jnp.float32),
+            pltpu.VMEM((tm, side), jnp.float32),
+            pltpu.VMEM((tm, side), jnp.float32),
+            pltpu.VMEM((tm, side), jnp.float32),
         ],
         interpret=INTERPRET,
         compiler_params=None if INTERPRET else _cparams(),
@@ -1071,6 +1108,7 @@ def fused_dens_advect(
 def _dens_fused_call(b, src, base, u, v, alpha, beta, iters, dt, n, cmax,
                      fast):
     side = n + 2
+    assert base.dtype == jnp.float32, "fused dens kernel is f32-only"
     tm = _dens_tm(side, iters, cmax)
     assert tm is not None and tm != side
     assert 1 <= cmax <= 7, "staging-buffer static slices need cmax <= 7"
@@ -1128,14 +1166,15 @@ def _dens_fused_call(b, src, base, u, v, alpha, beta, iters, dt, n, cmax,
 # ---------------------------------------------------------------------------
 
 
-def _shifted_rows(m1, c0, p1):
+def _shifted_rows(m1, c0, p1, dt=jnp.float32):
     """Row-shifted views of the center block using neighbor blocks:
     up[r] = global row r0+r-1, down[r] = global row r0+r+1.  Wall strips get
     duplicated (clamped) neighbor rows — garbage that the BC epilogue
-    overwrites."""
-    cc = c0[:]
-    up = jnp.concatenate([m1[-1:, :], cc[:-1, :]], axis=0)
-    down = jnp.concatenate([cc[1:, :], p1[:1, :]], axis=0)
+    overwrites.  Values are upcast to the f32 compute dtype (bf16 storage
+    mode)."""
+    cc = c0[:].astype(dt)
+    up = jnp.concatenate([m1[-1:, :].astype(dt), cc[:-1, :]], axis=0)
+    down = jnp.concatenate([cc[1:, :], p1[:1, :].astype(dt)], axis=0)
     return cc, up, down
 
 
@@ -1151,12 +1190,14 @@ def _divergence_kernel(
 ):
     gi = pl.program_id(1)
     r0 = gi * tm
-    dt = out_ref.dtype
+    dt = jnp.float32
     h = jnp.asarray(1.0, dt) / n
     _, v_up, v_dn = _shifted_rows(v_m1.at[0], v_c.at[0], v_p1.at[0])
-    du = _lane_diff(u_ref[0], side)
+    du = _lane_diff(u_ref[0].astype(dt), side)
     ob = out_ref.at[0]
-    ob[:] = (jnp.asarray(-0.5, dt) * h) * (du + (v_dn - v_up))
+    ob[:] = ((jnp.asarray(-0.5, dt) * h) * (du + (v_dn - v_up))).astype(
+        out_ref.dtype
+    )
     _apply_bnd_window(ob, 0, r0, tm, side)
 
 
@@ -1165,19 +1206,21 @@ def _gradient_kernel(
 ):
     gi = pl.program_id(1)
     r0 = gi * tm
-    dt = uout.dtype
+    dt = jnp.float32
     h = jnp.asarray(1.0, dt) / n
     half = jnp.asarray(0.5, dt)
     pc, p_up, p_dn = _shifted_rows(p_m1.at[0], p_c.at[0], p_p1.at[0])
     dp = _lane_diff(pc, side)
     uo, vo = uout.at[0], vout.at[0]
-    uo[:] = u_ref[0] - (half * dp) / h
-    vo[:] = v_ref[0] - (half * (p_dn - p_up)) / h
+    uo[:] = (u_ref[0].astype(dt) - (half * dp) / h).astype(uout.dtype)
+    vo[:] = (v_ref[0].astype(dt) - (half * (p_dn - p_up)) / h).astype(
+        vout.dtype
+    )
     _apply_bnd_window(uo, 1, r0, tm, side)
     _apply_bnd_window(vo, 2, r0, tm, side)
 
 
-def _halo1_specs(side: int):
+def _halo1_specs(side: int, st: int = 8):
     """(tm, specs3) for a 1-halo stencil over row strips: three shifted
     blocked inputs per halo'd operand (auto-pipelined; no manual DMA).
 
@@ -1186,9 +1229,9 @@ def _halo1_specs(side: int):
     rows), and Pallas double-buffers every blocked window, so gradient_p's
     7 windows at tm=512/side=2048 would need 56MB of scoped VMEM."""
     tm = _pick_tm(side)
-    if tm == side or tm > 128:
+    if tm == side or tm > 128 or tm % st != 0:
         for cand in (128, 64, 32, 16, 8):
-            if side % cand == 0:
+            if cand % st == 0 and side % cand == 0:
                 tm = cand
                 break
         else:
@@ -1217,7 +1260,7 @@ def _halo1_specs(side: int):
 @functools.partial(jax.jit, static_argnames=("n",))
 def divergence_p(u, v, n):
     side = n + 2
-    tm, blk = _halo1_specs(side)
+    tm, blk = _halo1_specs(side, _sub(u.dtype))
     kernel = functools.partial(_divergence_kernel, n=n, tm=tm, side=side)
     squeeze = u.ndim == 2
     if squeeze:
@@ -1239,7 +1282,7 @@ def divergence_p(u, v, n):
 @functools.partial(jax.jit, static_argnames=("n",))
 def gradient_p(u, v, p, n):
     side = n + 2
-    tm, blk = _halo1_specs(side)
+    tm, blk = _halo1_specs(side, _sub(u.dtype))
     kernel = functools.partial(_gradient_kernel, n=n, tm=tm, side=side)
     squeeze = u.ndim == 2
     if squeeze:
@@ -1330,7 +1373,12 @@ def make_opset(cfg: SimConfig) -> OpSet:
         return gradient_p(u, v, p, n)
 
     def diffuse_advect(b, src, base, u, v, alpha, beta, iters, dt, n):
-        if fused_dens_supported(n + 2, iters, cmax):
+        # f32 only: the fused kernel's gather accumulators alias the bf16
+        # DMA slots, and its staging rolls have no bf16 lowering; bf16 mode
+        # composes the two (individually bf16-capable) kernels instead.
+        if cfg.dtype == jnp.float32 and fused_dens_supported(
+            n + 2, iters, cmax
+        ):
             return fused_dens_advect(b, src, base, u, v, alpha, beta,
                                      iters, dt, n, cmax=cmax, fast=fast)
         d = diffuse_src(b, src, base, alpha, beta, iters, dt)

@@ -22,8 +22,14 @@ __all__ = ["advect", "advect_windowed", "backtrace"]
 
 def backtrace(u: jnp.ndarray, v: jnp.ndarray, dt: float, n: int):
     """Departure coordinates for every interior cell, clamped.  Returns
-    float arrays (x, y) of shape (n, n) in grid units (column, row)."""
-    dtype = u.dtype
+    float32 arrays (x, y) of shape (n, n) in grid units (column, row).
+
+    Coordinates are ALWAYS f32 even for bf16 fields: a grid index up to
+    ``n`` is not representable in bf16 (8-bit mantissa — spacing 2 above
+    256), so bf16 backtrace coordinates would gather from wrong cells."""
+    dtype = jnp.promote_types(u.dtype, jnp.float32)
+    u = u.astype(dtype)
+    v = v.astype(dtype)
     dt0 = jnp.asarray(dt, dtype) * n
     jj = jnp.arange(1, n + 1, dtype=dtype)[None, :]
     ii = jnp.arange(1, n + 1, dtype=dtype)[:, None]
@@ -42,7 +48,7 @@ def advect(
     dt: float,
     n: int,
 ) -> jnp.ndarray:
-    dtype = d0.dtype
+    dtype = jnp.promote_types(d0.dtype, jnp.float32)  # blend in f32
     x, y = backtrace(u, v, dt, n)
     j0 = x.astype(jnp.int32)
     i0 = y.astype(jnp.int32)
@@ -61,7 +67,7 @@ def advect(
     g11 = jnp.take(flat, base + side + 1)
 
     interior = s0 * (t0 * g00 + t1 * g10) + s1 * (t0 * g01 + t1 * g11)
-    return embed_interior(b, interior)
+    return embed_interior(b, interior.astype(d0.dtype))
 
 
 def advect_windowed(
@@ -79,7 +85,7 @@ def advect_windowed(
     the gather is a sum of (2C+1)² masked shifts.  Exact vs ``advect`` while
     the displacement stays below ``cmax - 1`` cells; serves as the CPU
     oracle for the clamped regime and for the windowed multi-chip path."""
-    dtype = d0.dtype
+    dtype = jnp.promote_types(d0.dtype, jnp.float32)  # f32 coords + blend
     x, y = backtrace(u, v, dt, n)
     jj = jnp.arange(1, n + 1, dtype=dtype)[None, :]
     ii = jnp.arange(1, n + 1, dtype=dtype)[:, None]
@@ -120,4 +126,4 @@ def advect_windowed(
             )
             t += 1
     interior = s0 * (t0 * g00 + t1 * g10) + s1 * (t0 * g01 + t1 * g11)
-    return embed_interior(b, interior)
+    return embed_interior(b, interior.astype(d0.dtype))

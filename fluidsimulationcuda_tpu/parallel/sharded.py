@@ -520,7 +520,7 @@ def _step_local(cfg: SimConfig, px: int, py: int, advect_mode: str,
 
 
 def make_sharded_step_fn(
-    cfg: SimConfig, mesh: Mesh, *, advect_mode: str = "exact",
+    cfg: SimConfig, mesh: Mesh, *, advect_mode: str = "auto",
     shard_backend: str = "auto",
 ) -> Callable[[FluidState, Sources], FluidState]:
     """A jitted multi-chip step.  Inputs/outputs are global padded grids
@@ -528,17 +528,20 @@ def make_sharded_step_fn(
     both mesh dimensions (pick n = multiple-of-mesh minus 2, like the
     reference's ``N = 2^13 - 2``, ``FluidSequential.c:6``).
 
-    ``advect_mode``: "exact" all-gathers the advected field (reference
-    semantics for any displacement); "windowed" exchanges a
-    ``max_courant``-deep halo instead (the Pallas kernels' clamped-window
-    semantics — neighbor-only traffic).
+    ``advect_mode``: "windowed" exchanges a ``max_courant``-deep halo per
+    advection (the Pallas kernels' clamped-window semantics —
+    neighbor-only ICI traffic, the scalable default); "exact" all-gathers
+    the advected field (reference semantics for ANY displacement, at
+    O(grid) collective traffic per advection — a correctness mode, not a
+    scale mode).  "auto" (default) picks windowed whenever every shard can
+    host the ``max_courant+1``-deep halo, exact otherwise (tiny shards).
 
     ``shard_backend``: which compute path runs *inside* each shard —
     "reference" = jnp local ops; "pallas" = the slab kernels
     (``kernels.pallas_sharded``; requires a 1-D row mesh (px, 1), f32, and
     always-windowed advection); "auto" = pallas when ``cfg.backend`` asks
     for it and the mesh/shape qualify, jnp otherwise."""
-    if advect_mode not in ("exact", "windowed"):
+    if advect_mode not in ("auto", "exact", "windowed"):
         raise ValueError(f"unknown advect_mode {advect_mode!r}")
     if shard_backend not in ("auto", "reference", "pallas"):
         raise ValueError(f"unknown shard_backend {shard_backend!r}")
@@ -547,6 +550,12 @@ def make_sharded_step_fn(
     if side % px or side % py:
         raise ValueError(
             f"grid side {side} not divisible by mesh shape ({px}, {py})"
+        )
+    if advect_mode == "auto":
+        K_auto = cfg.max_courant + 1
+        advect_mode = (
+            "windowed" if side // px >= K_auto and side // py >= K_auto
+            else "exact"
         )
     if advect_mode == "windowed":
         # _advect_local_windowed exchanges (max_courant+1)-deep halos; a

@@ -253,3 +253,112 @@ def test_fused_dens_supported_gates():
     assert pallas_ops.fused_dens_supported(2048, 20, 2)
     # window deeper than the grid -> unsupported
     assert not pallas_ops.fused_dens_supported(2048, 900, 2)
+
+
+# ---------------------------------------------------------------------------
+# bf16 storage mode (f32 compute in VMEM; non-parity, documented)
+# ---------------------------------------------------------------------------
+
+
+def _grid16(key, side, scale=1.0):
+    return _grid(key, side, scale).astype(jnp.bfloat16)
+
+
+def test_bf16_supports_gate():
+    from fluidsimulationcuda_tpu.core.config import SimConfig
+
+    assert pallas_ops.supports(SimConfig(n=126, dtype=jnp.bfloat16))
+    assert pallas_ops.supports(SimConfig(n=2046, dtype=jnp.bfloat16))
+    # side 136 is 8- but not 16-divisible -> bf16 rejected, f32 accepted
+    assert not pallas_ops.supports(SimConfig(n=134, dtype=jnp.bfloat16))
+    assert pallas_ops.supports(SimConfig(n=134))
+
+
+@pytest.mark.parametrize("iters", [3, 20])
+def test_bf16_jacobi_tracks_f32(strip_mode, iters):
+    """bf16 storage Jacobi must track the f32 solve to storage precision:
+    sweeps run f32, only the HBM round-trips (and the rhs restage) round."""
+    side = 64
+    x, x0 = _grid(40, side), _grid(41, side)
+    want = pallas_ops.fused_jacobi(0, x, x0, 0.42, 2.68, iters)
+    got = pallas_ops.fused_jacobi(
+        0, x.astype(jnp.bfloat16), x0.astype(jnp.bfloat16), 0.42, 2.68, iters
+    )
+    assert got.dtype == jnp.bfloat16
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(want), rtol=0.05, atol=0.02
+    )
+
+
+def test_bf16_advect_matches_windowed_reference(strip_mode):
+    """Same bf16 inputs through the kernel and the jnp windowed op: both
+    gather with f32 coordinates from the same bf16 field, so they must
+    agree to f32 arithmetic noise (NOT just bf16 tolerance)."""
+    side = 64
+    n = side - 2
+    d0 = _grid16(42, side)
+    u = _grid16(43, side, 1.5)
+    v = _grid16(44, side, 1.5)
+    want = ops.advect_windowed(0, d0, u, v, 0.08, n, 2)
+    got = pallas_ops.advect_shift(0, d0, u, v, 0.08, n, cmax=2)
+    assert got.dtype == jnp.bfloat16
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(want, np.float32),
+        rtol=1e-2, atol=1e-2,
+    )
+
+
+def test_bf16_projection_tracks_f32(strip_mode):
+    """bf16 projection vs the f32 projection of the SAME (bf16-rounded)
+    inputs: the pressure sweeps run f32 either way, so the only extra error
+    is the bf16 rounding of the outputs (~4e-3 on O(1) velocities)."""
+    side = 64
+    n = side - 2
+    u = _grid16(45, side, 1.0)
+    v = _grid16(46, side, 1.0)
+    uo, vo = pallas_ops.fused_project(u, v, n, 20)
+    uo32, vo32 = pallas_ops.fused_project(
+        u.astype(jnp.float32), v.astype(jnp.float32), n, 20
+    )
+    assert uo.dtype == jnp.bfloat16
+    np.testing.assert_allclose(
+        np.asarray(uo, np.float32), np.asarray(uo32), atol=1e-2, rtol=0
+    )
+    np.testing.assert_allclose(
+        np.asarray(vo, np.float32), np.asarray(vo32), atol=1e-2, rtol=0
+    )
+
+
+def test_bf16_full_step_differential_and_finite():
+    """Whole bf16 pallas step (interpret mode): finite fields; the KERNEL
+    bf16 trajectory must track the jnp bf16 trajectory tightly (both do f32
+    compute over bf16 storage, so any gap is a kernel bug); and the bf16
+    trajectory stays within bf16-accumulation distance of f32 (a loose
+    sanity bound — the divergence from f32 is inherent storage rounding,
+    measured identical for both backends)."""
+    from fluidsimulationcuda_tpu import SimConfig, reference_init, step
+    from fluidsimulationcuda_tpu.core.state import zero_sources
+
+    def run(cfg, steps=3):
+        s, src = reference_init(jax.random.key(7), cfg)
+        z = zero_sources(cfg)
+        for k in range(steps):
+            s = step(cfg, s, src if k == 0 else z)
+        return s
+
+    base = dict(n=126, jacobi_iters=8, max_courant=2)
+    s_p16 = run(SimConfig(**base, backend="pallas", dtype=jnp.bfloat16))
+    s_r16 = run(SimConfig(**base, backend="reference", dtype=jnp.bfloat16,
+                          advect_mode="windowed"))
+    s_p32 = run(SimConfig(**base, backend="pallas"))
+
+    def rl2(a, b):
+        a = np.asarray(a, np.float32)
+        b = np.asarray(b, np.float32)
+        return np.linalg.norm(a - b) / max(np.linalg.norm(b), 1e-12)
+
+    assert np.isfinite(np.asarray(s_p16.dens, np.float32)).all()
+    assert np.isfinite(np.asarray(s_p16.u, np.float32)).all()
+    assert rl2(s_p16.dens, s_r16.dens) < 0.01   # kernel vs jnp, same storage
+    assert rl2(s_p16.u, s_r16.u) < 0.02
+    assert rl2(s_p16.dens, s_p32.dens) < 0.15   # inherent bf16 drift bound
