@@ -379,8 +379,16 @@ def _advect3_kernel(
             # under the combined mask (dk == dz) & (key_xy == t).
             for dz in range(-cmax, cmax + 1):
                 mz = dk == dz
-                pbuf0[0:side, lpad : lpad + side] = plane(win, zw + dz)
-                pbuf1[0:side, lpad : lpad + side] = plane(win, zw + dz + 1)
+                # Clamp the candidate plane index to the window: at wall
+                # strips zw+dz walks past the window (negative at z=0, past
+                # wz-1 at z=side-wz) for candidates no cell selects — the
+                # coordinate clip guarantees every SELECTED (mz-true) cell's
+                # planes are in-window, but the read itself happens before
+                # the mask, and an out-of-bounds dynamic VMEM slice faults
+                # the chip (observed: TPU worker crash at 128^3).
+                zp = jnp.clip(zw + dz, 0, wz - 2)
+                pbuf0[0:side, lpad : lpad + side] = plane(win, zp)
+                pbuf1[0:side, lpad : lpad + side] = plane(win, zp + 1)
                 for dj in range(-cmax, cmax + 1):
                     q0 = pltpu.roll(pbuf0[:], H - dj if dj > 0 else -dj, 0)
                     q1 = pltpu.roll(pbuf1[:], H - dj if dj > 0 else -dj, 0)
