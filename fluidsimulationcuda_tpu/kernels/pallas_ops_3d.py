@@ -148,17 +148,29 @@ def _jacobi3_kernel(
     sy = jnp.asarray(syf, dt)
     sz = jnp.asarray(szf, dt)
 
-    def bc(dst):
-        # x/y ghost faces: whole window (full planes resident) — the 3-D
-        # analogue of the 2-D kernels' in-strip ghost columns.  Same values
-        # as ops.three_d.embed_faces3 at face-interior cells; edge/corner
-        # cells differ by pass order but are never stencil inputs.
+    # The sweep runs on the window FLATTENED to (wz*side, side): z collapses
+    # into the sublane axis (free reshape — planes are whole (8,128)-tile
+    # rows), so every neighbor is a single 2-D rotate exactly like the fast
+    # 2-D kernel: x = lane roll, y = 1-row roll, z = side-row roll.  Rolls
+    # that cross plane boundaries write garbage ONLY into rows that are
+    # ghost faces (y = 0 / side-1 of each plane) or margin planes — the
+    # in-sweep BC and the zm margin rewrite/absorb them, the same argument
+    # as the 2-D kernel's wrap-around rows.  This replaced per-axis 3-D
+    # rolls + plane concats (measured ~3x on the 20-sweep solve at 128^3).
+    L = wz * side
+    rows = jax.lax.broadcasted_iota(jnp.int32, (L, 1), 0)
+    y_in_plane = jax.lax.rem(rows, side)
+    y0m = y_in_plane == 0
+    y1m = y_in_plane == (side - 1)
+
+    def bc_ref(dst):
+        # x ghost columns + z ghost faces on the 3-D ref (y faces are
+        # folded into the flattened sweep).  Same composite corner/edge
+        # values as the jnp ops' face-interior rule; edge cells are never
+        # stencil inputs.
         dst[:, :, 0:1] = sx * dst[:, :, 1:2]
         dst[:, :, side - 1 : side] = sx * dst[:, :, side - 2 : side - 1]
-        dst[:, 0:1, :] = sy * dst[:, 1:2, :]
-        dst[:, side - 1 : side, :] = sy * dst[:, side - 2 : side - 1, :]
 
-        # z ghost faces, when this window covers them.
         @pl.when(start == 0)
         def _():
             dst[0:1] = sz * dst[1:2]
@@ -168,21 +180,24 @@ def _jacobi3_kernel(
             dst[wz - 1 : wz] = sz * dst[wz - 2 : wz - 1]
 
     def sweep(src, dst):
-        s = src[:]
-        sL = pltpu.roll(s, 1, 2)
-        sR = pltpu.roll(s, side - 1, 2)
-        sU = pltpu.roll(s, 1, 1)
-        sD = pltpu.roll(s, side - 1, 1)
-        # z neighbors via shifted concat (leading dim: plain plane copies).
-        # Duplicated edge planes are garbage the zm margin absorbs.
-        sF = jnp.concatenate([s[:1], s[:-1]], axis=0)
-        sB = jnp.concatenate([s[1:], s[-1:]], axis=0)
+        s = src[:].reshape(L, side)
+        sL = pltpu.roll(s, 1, 1)
+        sR = pltpu.roll(s, side - 1, 1)
+        sU = pltpu.roll(s, 1, 0)           # y-1 (plane seams -> ghost rows)
+        sD = pltpu.roll(s, L - 1, 0)       # y+1
+        sF = pltpu.roll(s, side, 0)        # z-1 (margin absorbs seam)
+        sB = pltpu.roll(s, L - side, 0)    # z+1
         neigh = ((sL + sR) + (sU + sD)) + (sF + sB)
         if fast:
-            dst[:] = rhs_buf[:] + ab_c * neigh
+            d2 = rhs_buf[:].reshape(L, side) + ab_c * neigh
         else:
-            dst[:] = (rhs_buf[:] + a_c * neigh) / b_c
-        bc(dst)
+            d2 = (rhs_buf[:].reshape(L, side) + a_c * neigh) / b_c
+        # y ghost faces of every plane, in-sweep (FluidSequential.c:62-75
+        # generalized): row 0 <- sy*row 1, row side-1 <- sy*row side-2.
+        d2 = jnp.where(y0m, sy * pltpu.roll(d2, L - 1, 0), d2)
+        d2 = jnp.where(y1m, sy * pltpu.roll(d2, 1, 0), d2)
+        dst[:] = d2.reshape(wz, side, side)
+        bc_ref(dst)
 
     def double_sweep(_, carry):
         sweep(buf_c, buf_b)
