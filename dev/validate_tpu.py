@@ -251,6 +251,76 @@ def bf16_differential(n=254, iters=20):
     check("bf16 advect pair compiled vs jnp-f32 twin", d < 1e-2, f"{d:.2e}")
 
 
+def three_d_differential(side=128, iters=20):
+    """3-D Pallas kernels, compiled on hardware, vs the jnp 3-D ops.
+    Regression guard for the out-of-bounds-window fault class (an OOB
+    dynamic VMEM slice in advect3 crashed the chip in round 2 — interpret
+    mode cannot catch those) plus the audited-window step perf point."""
+    import functools
+
+    import jax.numpy as jnp
+
+    from fluidsimulationcuda_tpu.kernels import pallas_ops_3d as k3
+    from fluidsimulationcuda_tpu.models.stable_fluids_3d import (
+        make_step_fn_3d, step_audited3,
+    )
+    from fluidsimulationcuda_tpu.ops import three_d as o3
+
+    n = side - 2
+    rng = np.random.default_rng(5)
+
+    def mk(s=1.0):
+        return jnp.asarray(
+            rng.uniform(-1.0, 1.0, (side, side, side)).astype(np.float32) * s
+        )
+
+    def maxd(a, b):
+        return float(jnp.max(jnp.abs(a - b)))
+
+    x, x0, u, v, w = mk(), mk(), mk(0.5), mk(0.5), mk(0.5)
+
+    got = o3.set_bnd3(0, k3.fused_jacobi3(0, x, x0, 0.3, 2.8, iters))
+    d = maxd(got, o3.diffuse3(0, x, x0, 0.3, 2.8, iters))
+    check("diff 3-D jacobi compiled vs jnp", d < 1e-5, f"{d:.2e}")
+
+    got = o3.set_bnd3(0, k3.advect3_shift(0, x, u, v, w, 0.05, n, cmax=2))
+    d = maxd(got, o3.advect3_windowed(0, x, u, v, w, 0.05, n, 2))
+    check("diff 3-D advect compiled vs jnp (incl. wall strips)",
+          d < 1e-5, f"{d:.2e}")
+
+    dv = o3.set_bnd3(0, k3.divergence3_p(u, v, w, n))
+    d = maxd(dv, o3.divergence3(u, v, w, n))
+    check("diff 3-D divergence compiled vs jnp", d < 1e-5, f"{d:.2e}")
+
+    # Audited step perf: the trajectory displacement is ~0.03 cells, so the
+    # cubic-cost gather runs its smallest window, provably exact.
+    cfg = SimConfig(n=n, jacobi_iters=iters, ndim=3, backend="pallas",
+                    max_courant=1)
+    state, sources = reference_init(jax.random.key(0), cfg)
+    zeros = zero_sources(cfg)
+    aud = jax.jit(functools.partial(step_audited3, cfg))
+    s0, disp = aud(state, sources)
+    check("3-D audited displacement in window",
+          float(disp) < cfg.max_courant, f"{float(disp):.3f} < 1")
+    f = make_step_fn_3d(cfg)
+    x1 = f(s0, zeros)
+    _ = float(x1.dens.ravel()[0])
+
+    def run(k):
+        x = x1
+        t0 = time.perf_counter()
+        for _ in range(k):
+            x = f(x, zeros)
+        _ = float(x.dens.ravel()[0])
+        return time.perf_counter() - t0
+
+    t1 = min(run(4) for _ in range(2))
+    t2 = min(run(20) for _ in range(2))
+    ms = (t2 - t1) / 16 * 1e3
+    check(f"perf 3-D {side}^3/{iters}it audited window", ms < 15.0,
+          f"{ms:.2f} ms/step (budget 15.0)")
+
+
 def perf_point(n, iters, cmax, expect_ms, steps=100):
     cfg = SimConfig(n=n, jacobi_iters=iters, backend="pallas",
                     max_courant=cmax)
@@ -287,6 +357,7 @@ def main():
     bf16_differential()
     perf_point(2046, 20, 2, expect_ms=6.0)
     if args.full:
+        three_d_differential()
         perf_point(8190, 40, 2, expect_ms=200.0, steps=15)
         from fluidsimulationcuda_tpu.models.batched import generate_trajectories
 

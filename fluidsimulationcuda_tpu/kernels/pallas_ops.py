@@ -423,7 +423,12 @@ def _fused_jacobi_call(b, x, x0, alpha, beta, sweeps, tm, side, zero_init,
             pltpu.SemaphoreType.DMA((2, 2)),
         ],
         interpret=INTERPRET,
-        compiler_params=None if INTERPRET else _cparams(),
+        # 8192-wide grids: 6 windows + pipelined out blocks + Mosaic stack
+        # peak at ~50MB with 128-row strips; same raised per-kernel cap as
+        # the projection/dens kernels (96MB scratch verified on this chip).
+        compiler_params=None if INTERPRET else pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 2**20
+        ),
     )(x, x0)
     return out.reshape(side, side) if squeeze else out
 
@@ -1058,24 +1063,35 @@ def _dens_tm(side: int, iters: int, cmax: int) -> int | None:
     """Strip height for the fused dens kernel.  Its working set (6 sweep
     windows + 4 gather accumulators + staging + u/v/out strips) is ~40%
     larger than plain Jacobi's, so it picks its own height against the
-    sweep budget rather than following ``_pick_tm``."""
+    sweep budget rather than following ``_pick_tm``.
+
+    Capability only — the dispatch-level profitability gate (window/strip
+    ratio) lives in ``fused_dens_supported``."""
     base = _pick_tm(side)
     if base is None or base == side:
         return None  # whole-grid case: separate kernels are already fast
+    margin = _ceil8(iters + 1 + cmax)
     for tm in (256, 128, 64, 32, 16, 8):
         if tm > base or side % tm != 0 or side // tm < 4:
             continue
-        wr = tm + 2 * _ceil8(iters + 1 + cmax)
+        wr = tm + 2 * margin
         if wr <= side and (6 * wr + 8 * tm + 16) * side * 4 <= _SWEEP_BUDGET:
             return tm
     return None
 
 
 def fused_dens_supported(side: int, iters: int, cmax: int) -> bool:
-    """Single-trip window must fit the grid, the staging buffer's static
-    slices need ``cmax <= 7``, and the working set must fit the raised
-    scoped-vmem cap."""
-    return cmax <= 7 and _dens_tm(side, iters, cmax) is not None
+    """Dispatch gate: single-trip window must fit the grid, the staging
+    buffer's static slices need ``cmax <= 7``, the working set must fit the
+    raised scoped-vmem cap, AND the strip must amortize its margin
+    (``tm >= 2*margin``): every strip re-sweeps its whole
+    (tm + 2*margin)-row window, so a VMEM-squeezed short strip against a
+    deep margin does MORE total sweep work than the unfused pair — measured
+    at 8192^2/40it (tm=32 vs margin=48) the fusion regressed the step 22%."""
+    if cmax > 7:
+        return False
+    tm = _dens_tm(side, iters, cmax)
+    return tm is not None and tm >= 2 * _ceil8(iters + 1 + cmax)
 
 
 def fused_dens_advect(

@@ -18,7 +18,7 @@ from ..core.state import FluidState, Sources, zero_sources
 from ..ops.source import add_source
 from ..ops import three_d as o3
 
-__all__ = ["vel_step3", "dens_step3", "step3", "make_step_fn_3d", "StableFluids3D"]
+__all__ = ["vel_step3", "dens_step3", "step3", "step_audited3", "make_step_fn_3d", "StableFluids3D"]
 
 
 def _use_pallas3(cfg: SimConfig) -> bool:
@@ -138,6 +138,42 @@ def step3(cfg: SimConfig, state: FluidState, sources: Sources) -> FluidState:
     )
     dens = dens_step3(cfg, state.dens, sources.dens, u, v, w)
     return FluidState(dens=dens, u=u, v=v, w=w)
+
+
+def step_audited3(cfg: SimConfig, state: FluidState, sources: Sources):
+    """``step3`` plus the max trilinear backtrace displacement (cells) its
+    advection call sites actually see — the 3-D twin of ``step_audited``.
+    The gather cost is CUBIC in the window ((2C+1)^3 masked shifts), so
+    shrinking ``max_courant`` to the audited displacement is worth ~4.6x
+    on the advection phase alone (125 -> 27 terms at C=1); the windowed
+    gather is exact for a step iff this value stays below
+    ``cfg.max_courant``."""
+    import jax.numpy as jnp
+
+    dt0 = cfg.dt * cfg.n
+
+    def _disp(u, v, w):
+        m = jnp.maximum(jnp.abs(u).max(), jnp.abs(v).max())
+        return jnp.maximum(m, jnp.abs(w).max()) * dt0
+
+    ops = _Ops3(cfg)
+    u = add_source(state.u, sources.u, cfg.dt)
+    v = add_source(state.v, sources.v, cfg.dt)
+    w = add_source(state.w, sources.w, cfg.dt)
+    alpha = cfg.diffusion_alpha_visc
+    beta = 1.0 + 6.0 * alpha
+    it = cfg.jacobi_iters
+    u = ops.diffuse(1, sources.u, u, alpha, beta, it)
+    v = ops.diffuse(2, sources.v, v, alpha, beta, it)
+    w = ops.diffuse(3, sources.w, w, alpha, beta, it)
+    u, v, w = ops.project(u, v, w, it)
+    d_vel = _disp(u, v, w)  # what self-advection backtraces with
+    u, v, w = ops.advect_self(u, v, w)
+    u, v, w = ops.project(u, v, w, it)
+    d_dens = _disp(u, v, w)  # what density advection backtraces with
+    dens = dens_step3(cfg, state.dens, sources.dens, u, v, w)
+    return (FluidState(dens=dens, u=u, v=v, w=w),
+            jnp.maximum(d_vel, d_dens))
 
 
 def make_step_fn_3d(cfg: SimConfig) -> Callable:

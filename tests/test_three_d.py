@@ -128,3 +128,26 @@ def test_advect3_windowed_clamps_finite():
     out = np.asarray(o3.advect3_windowed(0, d0, big, big, big, 0.016, n, cmax=2))
     assert np.isfinite(out).all()
     assert out.max() <= np.asarray(d0).max() + 1e-6
+
+
+def test_step_audited3_matches_step3_and_bounds_displacement():
+    """The audited 3-D step must return the identical next state as step3
+    plus a positive, finite displacement below the window in the stable
+    regime (the cubic-cost window can then shrink to it)."""
+    from fluidsimulationcuda_tpu.models.stable_fluids_3d import (
+        step3, step_audited3,
+    )
+
+    cfg = SimConfig(n=14, jacobi_iters=4, ndim=3, backend="reference",
+                    max_courant=3)
+    state, sources = reference_init(jax.random.key(5), cfg)
+    want = step3(cfg, state, sources)
+    got, disp = step_audited3(cfg, state, sources)
+    for name in ("dens", "u", "v", "w"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(got, name)),
+            np.asarray(getattr(want, name)),
+            rtol=1e-6, atol=1e-6, err_msg=name,
+        )
+    d = float(disp)
+    assert np.isfinite(d) and 0.0 < d < cfg.max_courant
