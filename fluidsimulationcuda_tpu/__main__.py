@@ -40,6 +40,9 @@ def _add_common(p):
     p.add_argument("--diff", type=float, default=0.1,
                    help="the reference's alpha = dt*diff*n^2 scaling makes "
                         "large grids hyper-diffusive; lower for demos")
+    p.add_argument("--ndim", type=int, default=2, choices=(2, 3),
+                   help="3 runs the smoke-volume solver (reference scenario "
+                        "only; scenarios/PNG are 2-D)")
     p.add_argument("--pressure-solver", default="jacobi",
                    choices=["jacobi", "multigrid", "cg"])
 
@@ -47,7 +50,8 @@ def _add_common(p):
 def _cfg(args):
     return SimConfig(n=args.n, jacobi_iters=args.iters, backend=args.backend,
                      max_courant=args.cmax, dt=args.dt, visc=args.visc,
-                     diff=args.diff, pressure_solver=args.pressure_solver)
+                     diff=args.diff, pressure_solver=args.pressure_solver,
+                     ndim=getattr(args, "ndim", 2))
 
 
 def cmd_run(args) -> None:
@@ -60,11 +64,21 @@ def cmd_run(args) -> None:
         from .models.scenarios import SCENARIOS
 
         cfg = _cfg(args)
-        state, sources, continuous = SCENARIOS[args.scenario](
-            jax.random.key(args.seed), cfg
-        )
+        if cfg.ndim == 3:
+            from .core.state import reference_init
+
+            state, sources = reference_init(jax.random.key(args.seed), cfg)
+        else:
+            state, sources, continuous = SCENARIOS[args.scenario](
+                jax.random.key(args.seed), cfg
+            )
         start_step = 0
-    step = make_step_fn(cfg)
+    if cfg.ndim == 3:
+        from .models.stable_fluids_3d import make_step_fn_3d
+
+        step = make_step_fn_3d(cfg)
+    else:
+        step = make_step_fn(cfg)
     zeros = zero_sources(cfg)
     t0 = time.perf_counter()
     for k in range(args.steps):
