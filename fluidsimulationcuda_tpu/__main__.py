@@ -73,26 +73,40 @@ def cmd_run(args) -> None:
                 jax.random.key(args.seed), cfg
             )
         start_step = 0
-    if cfg.ndim == 3:
-        from .models.stable_fluids_3d import make_step_fn_3d
+    # The audited step returns the max backtrace displacement alongside the
+    # state (device-side; one extra reduction pair — effectively free), so
+    # every run reports whether the windowed gather was exact.
+    import functools
 
-        step = make_step_fn_3d(cfg)
+    if cfg.ndim == 3:
+        from .models.stable_fluids_3d import step_audited3
+
+        step = jax.jit(functools.partial(step_audited3, cfg))
     else:
-        step = make_step_fn(cfg)
+        from .models.stable_fluids_2d import step_audited
+
+        step = jax.jit(functools.partial(step_audited, cfg))
     zeros = zero_sources(cfg)
+    disps = []
     t0 = time.perf_counter()
     for k in range(args.steps):
         if sources is not None and (continuous or (k == 0 and start_step == 0)):
             src = sources
         else:
             src = zeros
-        state = step(state, src)
+        state, d = step(state, src)
+        disps.append(d)
     dens = np.asarray(state.dens)  # sync
     dt_total = time.perf_counter() - t0
+    dmax = max((float(d) for d in disps), default=0.0)
+    verdict = ("exact" if dmax < cfg.max_courant
+               else "CLAMPED — rerun with a higher --cmax")
     print(
         f"{args.steps} steps in {dt_total:.3f}s "
         f"({dt_total / args.steps * 1e3:.2f} ms/step incl. dispatch); "
-        f"dens sum={dens.sum():.4f} max={dens.max():.5f}",
+        f"dens sum={dens.sum():.4f} max={dens.max():.5f}; "
+        f"audited displacement {dmax:.3f} cells "
+        f"({verdict} for window {cfg.max_courant})",
         file=sys.stderr,
     )
     if args.save:
