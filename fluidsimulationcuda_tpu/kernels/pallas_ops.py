@@ -136,7 +136,7 @@ def supports(cfg: SimConfig) -> bool:
 
 
 def _apply_bnd_window(dst, b: int, start, wr: int, side: int,
-                      corners: bool = True):
+                      corners: bool = True, signs=None):
     """Re-derive the ghost cells of the global grid that fall inside this
     window (rows [start, start+wr)) from the just-computed interior —
     ``set_bnd`` (``FluidSequential.c:62-75``) fused into the sweep.
@@ -144,8 +144,15 @@ def _apply_bnd_window(dst, b: int, start, wr: int, side: int,
     Corner cells are never read by the 5-point stencil, so multi-sweep
     kernels pass ``corners=False`` per sweep and fix them once at the end
     (the tiny 1x1 stores measurably dominate otherwise).
+
+    ``signs`` overrides the static per-mode signs with traced (sx, sy)
+    scalars — used by the batched u+v pair kernel, whose boundary mode
+    varies with the batch index.
     """
-    sx, sy = _signs(b)
+    if signs is None:
+        sx, sy = _signs(b)
+    else:
+        sx, sy = signs
     dt = dst.dtype
     sx = jnp.asarray(sx, dt)
     sy = jnp.asarray(sy, dt)
@@ -212,9 +219,9 @@ def _ceil8(x: int) -> int:
 
 def _jacobi_kernel(
     x_hbm, rhs_hbm, out_ref, xs2, rhs2, buf_b, buf_c, sems,
-    *, b: int, alpha: float, beta: float, sweeps: int,
+    *, b, alpha: float, beta: float, sweeps: int,
     tm: int, wr: int, side: int, zero_init: bool, margin: int,
-    nstrips: int, total: int, st: int = 8,
+    nstrips: int, total: int, st: int = 8, nb1: int = 0,
     src_dt: float | None = None, fast: bool = False,
 ):
     # Grid is (batch, strips): batched simulations are independent grids
@@ -269,6 +276,17 @@ def _jacobi_kernel(
     start = pl.multiple_of(jnp.clip(r0 - margin, 0, side - wr), st)
     dt = buf_b.dtype
     rdt = rhs2.dtype
+    if isinstance(b, tuple):
+        # u+v pair mode: slabs [0, nb1) are boundary mode b[0], the rest
+        # b[1] — signs selected by the batch program id.
+        (sx1, sy1), (sx2, sy2) = _signs(b[0]), _signs(b[1])
+        first = bi < nb1
+        signs = (jnp.where(first, sx1, sx2).astype(dt),
+                 jnp.where(first, sy1, sy2).astype(dt))
+        b_bc = 0  # unused when signs are given
+    else:
+        signs = None
+        b_bc = b
     if zero_init:
         buf_c[:] = jnp.zeros((wr, side), dt)
     else:
@@ -315,7 +333,8 @@ def _jacobi_kernel(
             dst[:] = (rhs_buf[:] + a_c * neigh) / b_c
         # Corners deferred to the output epilogue: they are never stencil
         # inputs and the per-sweep 1x1 stores dominate the kernel otherwise.
-        _apply_bnd_window(dst, b, start, wr, side, corners=False)
+        _apply_bnd_window(dst, b_bc, start, wr, side, corners=False,
+                          signs=signs)
 
     def double_sweep(_, carry):
         sweep(buf_c, buf_b)
@@ -335,7 +354,7 @@ def _jacobi_kernel(
 
 
 def fused_jacobi(
-    b: int,
+    b,
     x_init: jnp.ndarray,
     x0: jnp.ndarray,
     alpha: float,
@@ -346,6 +365,7 @@ def fused_jacobi(
     max_fused: int = 20,
     src_dt: float | None = None,
     fast: bool = False,
+    nb1: int = 0,
 ) -> jnp.ndarray:
     """``iters`` Jacobi sweeps (semantics of ``ops.diffuse``) with up to
     ``max_fused`` sweeps per HBM round-trip.  ``zero_init`` skips loading the
@@ -372,7 +392,7 @@ def fused_jacobi(
             b, x, x0, float(alpha), float(beta), k, tm, side,
             zero_init and first,
             float(src_dt) if (src_dt is not None and first) else None,
-            fast,
+            fast, nb1,
         )
         first = False
         remaining -= k
@@ -381,10 +401,10 @@ def fused_jacobi(
 
 @functools.partial(
     jax.jit, static_argnames=("b", "alpha", "beta", "sweeps", "tm", "side",
-                              "zero_init", "src_dt", "fast")
+                              "zero_init", "src_dt", "fast", "nb1")
 )
 def _fused_jacobi_call(b, x, x0, alpha, beta, sweeps, tm, side, zero_init,
-                       src_dt=None, fast=False):
+                       src_dt=None, fast=False, nb1=0):
     st = _sub(x0.dtype)
     if tm == side:
         wr = side  # whole grid in one window; margin condition is vacuous
@@ -402,7 +422,7 @@ def _fused_jacobi_call(b, x, x0, alpha, beta, sweeps, tm, side, zero_init,
     kernel = functools.partial(
         _jacobi_kernel, b=b, alpha=alpha, beta=beta, sweeps=sweeps,
         tm=tm, wr=wr, side=side, zero_init=zero_init, margin=margin,
-        nstrips=nstrips, total=nb * nstrips, st=st,
+        nstrips=nstrips, total=nb * nstrips, st=st, nb1=nb1,
         src_dt=src_dt, fast=fast,
     )
     out = pl.pallas_call(
@@ -431,6 +451,54 @@ def _fused_jacobi_call(b, x, x0, alpha, beta, sweeps, tm, side, zero_init,
         ),
     )(x, x0)
     return out.reshape(side, side) if squeeze else out
+
+
+def fused_jacobi_pair(
+    b1: int,
+    b2: int,
+    s1: jnp.ndarray,
+    s2: jnp.ndarray,
+    base1: jnp.ndarray,
+    base2: jnp.ndarray,
+    alpha: float,
+    beta: float,
+    iters: int,
+    *,
+    max_fused: int = 20,
+    src_dt: float | None = None,
+    fast: bool = False,
+):
+    """Two same-coefficient Jacobi solves with different boundary modes
+    (the velocity pair, ``FluidSequential.c:228-229``) in ONE batched
+    kernel: u and v stack on the leading batch axis and the in-sweep BC
+    signs are selected per slab.
+
+    MEASURED NEUTRAL-TO-SLOWER than two independent calls at 2048^2
+    (1.16 vs 1.02 ms): the stacking concatenate copies both fields (XLA
+    cannot alias a concat input) and the XLA scheduler already pipelines
+    back-to-back pallas calls, so ``vel_step`` deliberately does NOT use
+    this.  Kept as the per-slab-signs capability (bit-exact vs two
+    singles, see tests) for callers whose operands are already stacked.
+    Accepts (side, side) or batched (B, side, side) operands."""
+    side = base1.shape[-1]
+    unbatched = base1.ndim == 2
+    if unbatched:
+        s1 = s1.reshape(1, side, side)
+        s2 = s2.reshape(1, side, side)
+        base1 = base1.reshape(1, side, side)
+        base2 = base2.reshape(1, side, side)
+    nb = base1.shape[0]
+    out = fused_jacobi(
+        (b1, b2),
+        jnp.concatenate([s1, s2]),
+        jnp.concatenate([base1, base2]),
+        alpha, beta, iters,
+        max_fused=max_fused, src_dt=src_dt, fast=fast, nb1=nb,
+    )
+    o1, o2 = out[:nb], out[nb:]
+    if unbatched:
+        return o1.reshape(side, side), o2.reshape(side, side)
+    return o1, o2
 
 
 # ---------------------------------------------------------------------------

@@ -362,3 +362,34 @@ def test_bf16_full_step_differential_and_finite():
     assert rl2(s_p16.dens, s_r16.dens) < 0.01   # kernel vs jnp, same storage
     assert rl2(s_p16.u, s_r16.u) < 0.02
     assert rl2(s_p16.dens, s_p32.dens) < 0.15   # inherent bf16 drift bound
+
+
+@pytest.mark.parametrize("iters", [3, 20])
+def test_fused_jacobi_pair_matches_two_singles(strip_mode, iters):
+    """The batched u+v pair kernel (per-slab boundary signs) must match two
+    independent solves bit-for-bit — same sweeps, only the BC sign source
+    differs."""
+    side = 64
+    s1, s2 = _grid(50, side, 0.5), _grid(51, side, 0.5)
+    b1, b2 = _grid(52, side), _grid(53, side)
+    a, be, dt = 0.42, 1.0 + 4 * 0.42, 0.016
+    w1 = pallas_ops.fused_jacobi(1, s1, b1, a, be, iters, src_dt=dt)
+    w2 = pallas_ops.fused_jacobi(2, s2, b2, a, be, iters, src_dt=dt)
+    g1, g2 = pallas_ops.fused_jacobi_pair(1, 2, s1, s2, b1, b2, a, be,
+                                          iters, src_dt=dt)
+    np.testing.assert_array_equal(np.asarray(g1), np.asarray(w1))
+    np.testing.assert_array_equal(np.asarray(g2), np.asarray(w2))
+
+
+def test_fused_jacobi_pair_batched(strip_mode):
+    side, nb = 64, 3
+    s1 = jnp.stack([_grid(60 + i, side, 0.5) for i in range(nb)])
+    s2 = jnp.stack([_grid(70 + i, side, 0.5) for i in range(nb)])
+    b1 = jnp.stack([_grid(80 + i, side) for i in range(nb)])
+    b2 = jnp.stack([_grid(90 + i, side) for i in range(nb)])
+    a, be = 0.3, 2.2
+    w1 = pallas_ops.fused_jacobi(1, s1, b1, a, be, 5)
+    w2 = pallas_ops.fused_jacobi(2, s2, b2, a, be, 5)
+    g1, g2 = pallas_ops.fused_jacobi_pair(1, 2, s1, s2, b1, b2, a, be, 5)
+    np.testing.assert_array_equal(np.asarray(g1), np.asarray(w1))
+    np.testing.assert_array_equal(np.asarray(g2), np.asarray(w2))
