@@ -115,9 +115,14 @@ def cmd_run(args) -> None:
     if args.png:
         from .utils.viz import save_density_png
 
-        save_density_png(args.png, state.dens,
-                         title=f"{args.scenario if not args.resume else 'resumed'}"
-                               f" @ step {start_step + args.steps}")
+        dens_img = state.dens
+        title = (f"{args.scenario if not args.resume else 'resumed'}"
+                 f" @ step {start_step + args.steps}")
+        if dens_img.ndim == 3:  # 3-D run: render the mid-z plane
+            mid = dens_img.shape[0] // 2
+            dens_img = dens_img[mid]
+            title += f" (z={mid} slice)"
+        save_density_png(args.png, dens_img, title=title)
         print(f"wrote {args.png}", file=sys.stderr)
 
 
@@ -158,7 +163,11 @@ def cmd_datagen(args) -> None:
         from .models.batched import select_cmax_batched
 
         cmax, probed = select_cmax_batched(key, cfg, args.batch)
-        cfg = cfg.replace(max_courant=min(cmax, cfg.max_courant))
+        if cmax > cfg.max_courant:
+            print(f"WARNING: probed displacement {probed:.3f} cells exceeds "
+                  f"--max-courant {cfg.max_courant}; growing the window to "
+                  f"cmax={cmax} to keep the run exact", file=sys.stderr)
+        cfg = cfg.replace(max_courant=cmax)
         print(f"auto-selected advect window cmax={cfg.max_courant} "
               f"(probed displacement {probed:.3f} cells)", file=sys.stderr)
     final, snaps, max_disp = generate_trajectories(

@@ -67,8 +67,9 @@ class SimConfig:
       max_courant: Pallas advection gathers from a VMEM window of
         ``max_courant`` cells around each output cell; exact while the
         backtrace displacement ``|dt*n*velocity|`` stays below
-        ``max_courant - 1`` cells (always true in this solver's stable
-        regime), clamped to the window otherwise.  Cost grows quadratically.
+        ``max_courant`` cells (proof + boundary test:
+        ``ops/advect.py:advect_windowed``), clamped to the window
+        otherwise.  Cost grows quadratically with the window.
       ndim: spatial dimensionality (2 for the reference solver, 3 for the
         smoke-volume extension).
     """

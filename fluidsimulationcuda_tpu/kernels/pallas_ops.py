@@ -18,9 +18,10 @@ launches (``naivePar/...Interleaved-Naive.cu:390-454``).
 Advection cannot use XLA/Mosaic gathers (lowered serially on TPU; measured
 ~40 ms at 2048²).  Instead the bilinear gather is decomposed into
 (2C+1)² masked shift-accumulates over a VMEM-resident window — exact whenever
-the backtrace displacement is at most C-1 cells (``max_courant`` on
-``SimConfig``; the clamp to the window mirrors the reference's own clamp to
-the box, ``FluidSequential.c:117-127``).
+the backtrace displacement stays below C cells (``max_courant`` on
+``SimConfig``; proof in ``ops/advect.py:advect_windowed``, the jnp
+specification of this kernel.  The clamp to the window mirrors the
+reference's own clamp to the box, ``FluidSequential.c:117-127``).
 
 All kernels read/write full padded arrays with a valid ghost ring, so they
 are drop-in replacements for the jnp ops, matching them to within FMA
@@ -745,7 +746,8 @@ def _advect_kernel(
     hi = jnp.asarray(n + 0.5, dtype)
     x = jnp.clip(x, lo, hi)
     y = jnp.clip(y, lo, hi)
-    # Window clamp (exact while |displacement| <= cmax-1; cf. module doc).
+    # Window clamp (exact while displacement < cmax; proof in
+    # ops/advect.py:advect_windowed).
     x = jnp.clip(x, gc - cmax, gc + cmax)
     y = jnp.clip(y, gr - cmax, gr + cmax)
 
@@ -1449,7 +1451,9 @@ def make_opset(cfg: SimConfig) -> OpSet:
         return gradient_p(u, v, p, n)
 
     def project(u, v, n, iters):
-        if fused_project_supported(n + 2, iters):
+        # The gate must size margins with the same sublane tile the call
+        # will use (16 for bf16) or gate and call can disagree on viability.
+        if fused_project_supported(n + 2, iters, st=_sub(cfg.dtype)):
             return fused_project(u, v, n, iters)
         # Window too deep for this grid/iter combo: unfused composition.
         div = divergence_p(u, v, n)

@@ -120,8 +120,18 @@ def generate_trajectories(
     default.
     """
     if auto_cmax:
-        cmax, _ = select_cmax_batched(key, cfg, batch)
-        cfg = cfg.replace(max_courant=min(cmax, cfg.max_courant))
+        cmax, probed = select_cmax_batched(key, cfg, batch)
+        if cmax > cfg.max_courant:
+            # The probe proved the configured window too small — growing it
+            # keeps the run exact; clamping silently would not.
+            import warnings
+
+            warnings.warn(
+                f"probed displacement {probed:.3f} cells exceeds the "
+                f"configured max_courant={cfg.max_courant}; growing the "
+                f"gather window to cmax={cmax} to keep the run exact"
+            )
+        cfg = cfg.replace(max_courant=cmax)
     state, sources = batched_init(key, cfg, batch)
     runner = _trajectory_runner(cfg, num_steps, snapshot_every)
     return runner(state, sources)

@@ -82,9 +82,25 @@ def advect_windowed(
     """Window-clamped advection: the jnp specification of the Pallas
     kernel's masked-shift gather (``kernels/pallas_ops.py``) — the backtrace
     is additionally clamped to ±``cmax`` cells around each output cell, and
-    the gather is a sum of (2C+1)² masked shifts.  Exact vs ``advect`` while
-    the displacement stays below ``cmax - 1`` cells; serves as the CPU
-    oracle for the clamped regime and for the windowed multi-chip path."""
+    the gather is a sum of (2C+1)² masked shifts.
+
+    **Exactness condition (the canonical statement — every other doc refers
+    here).**  Let ``d = max |dt*n*velocity|`` over interior cells (the
+    audited displacement).  Then ``advect_windowed == advect`` exactly
+    whenever ``d <= cmax``; all audits in this repo enforce the strict
+    inequality ``d < cmax``.  Proof: for an interior output cell at column
+    ``j``, the box clamp to ``[0.5, n+0.5]`` (``FluidSequential.c:117-127``)
+    only moves the departure point toward ``j`` (``j ∈ [1, n] ⊂
+    [0.5, n+0.5]``), so ``|x - j| <= d``.  If ``d <= cmax`` the window clamp
+    ``clip(x, j-cmax, j+cmax)`` is the identity, so both paths compute the
+    same coordinates.  The mask then covers the gather: ``x ∈ [j-cmax,
+    j+cmax]`` and ``x >= 0.5 > 0`` give ``j0 = trunc(x) = floor(x) ∈
+    [j-cmax, j+cmax]``, i.e. ``dj ∈ [-cmax, cmax]`` (one of the (2C+1)²
+    mask keys), and the ``+1`` corner reads reach at most ``j+cmax+1``,
+    inside the ``cmax``-padded buffer (rows identically).  For ``d > cmax``
+    the window clamp fires on some cell and the results differ.  The
+    boundary is pinned by ``tests/test_exactness_boundary.py`` (2-D & 3-D)
+    and by the compiled-Mosaic lane in ``dev/validate_tpu.py``."""
     dtype = jnp.promote_types(d0.dtype, jnp.float32)  # f32 coords + blend
     x, y = backtrace(u, v, dt, n)
     jj = jnp.arange(1, n + 1, dtype=dtype)[None, :]

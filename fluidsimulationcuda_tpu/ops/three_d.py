@@ -183,7 +183,9 @@ def advect3_windowed(b, d0, u, v, w, dt, n, cmax: int = 2):
     """Window-clamped trilinear advection via (2C+1)³ masked shifts — the
     3-D twin of ``ops.advect_windowed``.  XLA TPU gathers lower serially
     (unusable at volume sizes); masked shifts are vector ops.  Exact while
-    the backtrace displacement is under ``cmax - 1`` cells per axis."""
+    the backtrace displacement stays below ``cmax`` cells per axis — the
+    same condition, with the same proof, as the 2-D window
+    (``ops/advect.py:advect_windowed``), applied per axis."""
     dtype = d0.dtype
     dt0 = jnp.asarray(dt, dtype) * n
     coords = jnp.arange(1, n + 1, dtype=dtype)

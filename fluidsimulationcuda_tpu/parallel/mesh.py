@@ -28,12 +28,36 @@ def _factor_2d(n: int) -> tuple[int, int]:
     return px, n // px
 
 
-def make_mesh(devices=None, shape: tuple[int, int] | None = None) -> Mesh:
-    """A 2-D ("x", "y") mesh over ``devices`` (default: all)."""
+def make_mesh(
+    devices=None,
+    shape: tuple[int, int] | None = None,
+    *,
+    layout: str = "rows",
+) -> Mesh:
+    """A 2-D ("x", "y") mesh over ``devices`` (default: all).
+
+    ``layout`` picks the default factorization when ``shape`` is None:
+
+    - ``"rows"`` (default): an (n, 1) row mesh — full-width slabs.  This is
+      the blessed multi-chip shape: the per-shard Pallas slab kernels
+      (``kernels.pallas_sharded``) only exist for row slabs, and they run
+      ~80x faster than the jnp local ops that a 2-D mesh falls back to
+      (measured, docs/PERFORMANCE.md) — a compute gap no halo-traffic
+      saving recovers at practical grid sizes.  Row slabs also halve the
+      exchange count (no column halos, no corner phase).
+    - ``"square"``: near-square factorization — minimizes per-chip halo
+      bytes (O(side/sqrt(d)) vs O(side)); only worth it for the jnp path
+      on very large meshes where ICI bandwidth, not compute, dominates.
+    """
     if devices is None:
         devices = jax.devices()
     if shape is None:
-        shape = _factor_2d(len(devices))
+        if layout == "rows":
+            shape = (len(devices), 1)
+        elif layout == "square":
+            shape = _factor_2d(len(devices))
+        else:
+            raise ValueError(f"unknown layout {layout!r}")
     px, py = shape
     if px * py != len(devices):
         raise ValueError(f"mesh shape {shape} != {len(devices)} devices")

@@ -344,6 +344,182 @@ def _project_local(u, v, n, iters, px, py):
 
 
 # ---------------------------------------------------------------------------
+# Sharded pressure solvers beyond Jacobi (multigrid / CG inside shard_map)
+# ---------------------------------------------------------------------------
+
+
+def _psum_all(x):
+    return jax.lax.psum(x, ("x", "y"))
+
+
+def _masked_dot(a, b, mask):
+    """Global interior dot product: local partial sum + psum."""
+    return _psum_all(jnp.sum(jnp.where(mask, a * b, 0.0)))
+
+
+def _cg_local(div, iters: int, n: int, px: int, py: int):
+    """Sharded conjugate gradient — the multi-chip twin of
+    ``ops.cg.cg_pressure_solve``: every iteration is one 1-halo A-apply
+    (``ppermute``) plus two global dot products (``psum``), the textbook
+    distributed-CG communication pattern.  Local blocks keep the padded
+    layout; interior cells are selected by mask and the copy-BC ghost rule
+    is re-derived locally before each stencil."""
+    dt = div.dtype
+    mask = _interior_mask(div, n)
+    ncells = jnp.asarray(float(n) * float(n), dt)
+
+    def apply_A(p):
+        # Copy-BC ghosts folded into the operator (cg.py:_apply_A_bc):
+        # refresh the ghost ring, then the 5-point stencil on the interior.
+        p = _apply_bnd_local(0, p, n)
+        ext = _extend(p, px, py)
+        neigh = (
+            (ext[1:-1, :-2] + ext[1:-1, 2:]) + ext[:-2, 1:-1]
+        ) + ext[2:, 1:-1]
+        return jnp.where(mask, 4.0 * p - neigh, jnp.zeros_like(p))
+
+    # Deflate the RHS mean (A's nullspace is constants; see ops/cg.py).
+    b = jnp.where(mask, div, 0.0)
+    mean = _psum_all(jnp.sum(b)) / ncells
+    b = jnp.where(mask, b - mean, 0.0)
+
+    x = jnp.zeros_like(b)
+    r = b
+    p = r
+    rs = _masked_dot(r, r, mask)
+    eps = jnp.asarray(1e-30, dt)
+
+    def body(_, carry):
+        x, r, p, rs = carry
+        Ap = apply_A(p)
+        alpha = rs / (_masked_dot(p, Ap, mask) + eps)
+        x = x + alpha * p
+        r = r - alpha * Ap
+        rs_new = _masked_dot(r, r, mask)
+        beta = rs_new / (rs + eps)
+        p = jnp.where(mask, r + beta * p, 0.0)
+        return x, r, p, rs_new
+
+    x, _, _, _ = jax.lax.fori_loop(0, iters, body, (x, r, p, rs))
+    return _apply_bnd_local(0, x, n)
+
+
+def _mg_smooth_local(p, div, sweeps: int, n: int, px: int, py: int):
+    """Damped-Jacobi smoothing (``ops.multigrid._smooth``) on local blocks,
+    one 1-halo exchange per sweep."""
+    dt = p.dtype
+    w = jnp.asarray(0.8, dt)
+    one_m_w = jnp.asarray(1.0 - 0.8, dt)
+    quarter = jnp.asarray(0.25, dt)
+    mask = _interior_mask(p, n)
+
+    def body(_, p):
+        ext = _extend(p, px, py)
+        neigh = (
+            (ext[1:-1, :-2] + ext[1:-1, 2:]) + ext[:-2, 1:-1]
+        ) + ext[2:, 1:-1]
+        new = one_m_w * p + w * ((div + neigh) * quarter)
+        return _apply_bnd_local(0, jnp.where(mask, new, p), n)
+
+    return jax.lax.fori_loop(0, sweeps, body, p)
+
+
+def _mg_local(div, cycles: int, n: int, px: int, py: int,
+              pre: int = 2, post: int = 2):
+    """Sharded multigrid V-cycles — fine level distributed, coarse levels
+    replicated.
+
+    The fine level (the O(n²) work) runs on local blocks: damped-Jacobi
+    smoothing and the residual exchange 1-deep halos.  Restriction is
+    scatter-free: full-weighting coarse values are *sums* of the four fine
+    children (``ops.multigrid._restrict``'s ``4 * mean``), so each shard
+    reduces its own 2x2 groups (pair-aligned by one leading pad row/col —
+    shard origins are even) into a zero global coarse grid and a single
+    ``psum`` assembles it, replicated, on every chip.  All coarser levels
+    (≤ 1/4 the cells) then reuse the single-grid ``ops.multigrid.v_cycle``
+    verbatim on the replicated grid; the prolonged correction is sliced
+    back to local blocks.  ICI traffic per cycle: (pre+post) 1-halo
+    exchanges + one coarse-grid psum — the standard distributed-MG shape.
+
+    Requires even local block sizes (shard origins stay pair-aligned),
+    checked by the caller.
+    """
+    from ..ops import multigrid as mg
+    from ..ops.boundary import embed_interior
+
+    levels = mg.mg_levels(n)
+    m, k = div.shape
+    mask = _interior_mask(div, n)
+    div_m = jnp.where(mask, div, 0.0)
+    nc = n // 2
+
+    def v_cycle_local(p):
+        p = _mg_smooth_local(p, div_m, pre, n, px, py)
+        if levels == 0:
+            return _mg_smooth_local(p, div_m, 40, n, px, py)
+        # Residual, locally (copy-BC ghosts via the local bnd rule).
+        ext = _extend(_apply_bnd_local(0, p, n), px, py)
+        neigh = (
+            (ext[1:-1, :-2] + ext[1:-1, 2:]) + ext[:-2, 1:-1]
+        ) + ext[2:, 1:-1]
+        r = jnp.where(mask, div_m - (4.0 * p - neigh), 0.0)
+        # Restriction: pair-aligned 2x2 sums, psum-assembled (replicated).
+        rp = jnp.pad(r, ((1, 1), (1, 1)))
+        coarse = rp.reshape((m + 2) // 2, 2, (k + 2) // 2, 2).sum((1, 3))
+        full = jnp.zeros((nc + 2, nc + 2), div.dtype)
+        r0c = jax.lax.axis_index("x") * (m // 2)
+        c0c = jax.lax.axis_index("y") * (k // 2)
+        full = jax.lax.dynamic_update_slice(full, coarse, (r0c, c0c))
+        r_c = _psum_all(full)
+        r_c = embed_interior(0, r_c[1:-1, 1:-1])
+        # Coarse solve + prolongation: replicated single-grid code.
+        e_c = mg.v_cycle(jnp.zeros_like(r_c), r_c, levels - 1, pre, post)
+        e_fine = mg._prolong(e_c)
+        r0 = jax.lax.axis_index("x") * m
+        c0 = jax.lax.axis_index("y") * k
+        e_loc = jax.lax.dynamic_slice(e_fine, (r0, c0), (m, k))
+        p = _apply_bnd_local(0, jnp.where(mask, p + e_loc, p), n)
+        return _mg_smooth_local(p, div_m, post, n, px, py)
+
+    p = jnp.zeros_like(div)
+    for _ in range(cycles):
+        p = v_cycle_local(p)
+    return p
+
+
+def _make_project_local(cfg: SimConfig, px: int, py: int):
+    """Sharded analogue of ``models.stable_fluids_2d._make_project``:
+    divergence/gradient stay local stencils; the solve dispatches on
+    ``cfg.pressure_solver``."""
+    n, it = cfg.n, cfg.jacobi_iters
+    if cfg.pressure_solver == "multigrid":
+        side = n + 2
+        if (side // px) % 2 or (side // py) % 2:
+            raise ValueError(
+                "sharded multigrid needs even local block sizes "
+                f"((n+2)/px and (n+2)/py even); got "
+                f"({side // px}, {side // py})"
+            )
+
+        def solve(div):
+            return _mg_local(div, cfg.mg_cycles, n, px, py)
+    elif cfg.pressure_solver == "cg":
+        def solve(div):
+            return _cg_local(div, cfg.cg_iters, n, px, py)
+    else:
+        def solve(div):
+            return _diffuse_local(0, jnp.zeros_like(div), div, 1.0, 4.0,
+                                  it, n, px, py)
+
+    def project(u, v):
+        div = _divergence_local(u, v, n, px, py)
+        p = solve(div)
+        return _gradient_local(u, v, p, n, px, py)
+
+    return project
+
+
+# ---------------------------------------------------------------------------
 # Pallas per-shard compute (1-D row-slab decomposition)
 # ---------------------------------------------------------------------------
 
@@ -365,11 +541,13 @@ def _halo_rows(x: jnp.ndarray, px: int, K: int):
     return top, bottom
 
 
-def _step_local_pallas(cfg: SimConfig, px: int, state: FluidState,
-                       src: Sources) -> FluidState:
+def _step_local_pallas(cfg: SimConfig, px: int, audited: bool,
+                       state: FluidState, src: Sources):
     """Per-shard step through the Pallas slab kernels
     (``kernels.pallas_sharded``).  Same composition as ``_step_local``;
-    advection is always windowed (the kernels' clamped-gather semantics)."""
+    advection is always windowed (the kernels' clamped-gather semantics).
+    ``pressure_solver="multigrid"/"cg"`` compose the slab
+    divergence/gradient kernels with the sharded jnp solvers."""
     from ..kernels import pallas_sharded as ps
     from ..kernels.pallas_ops import _ceil8
 
@@ -414,10 +592,20 @@ def _step_local_pallas(cfg: SimConfig, px: int, state: FluidState,
             remaining -= s
         return x
 
+    if cfg.pressure_solver == "multigrid":
+        def solve(div):
+            return _mg_local(div, cfg.mg_cycles, n, px, 1)
+    elif cfg.pressure_solver == "cg":
+        def solve(div):
+            return _cg_local(div, cfg.cg_iters, n, px, 1)
+    else:
+        def solve(div):
+            return diffuse(0, None, div, 1.0, 4.0, it, zero_init=True)
+
     def project(u, v):
         vt, vb = _halo_rows(v, px, 8)
         div = ps.divergence_slab(u, v, vt, vb, flags, n)
-        p = diffuse(0, None, div, 1.0, 4.0, it, zero_init=True)
+        p = solve(div)
         pt, pb = _halo_rows(p, px, 8)
         return ps.gradient_slab(u, v, p, pt, pb, flags, n)
 
@@ -455,16 +643,21 @@ def _step_local_pallas(cfg: SimConfig, px: int, state: FluidState,
     u = diffuse(1, src.u, u, alpha, beta, it, use_fast=fast)
     v = diffuse(2, src.v, v, alpha, beta, it, use_fast=fast)
     u, v = project(u, v)
+    d_vel = _disp_global(u, v, dtim * n) if audited else None
     u0, v0 = u, v
     u, v = advect_pair_self(u0, v0)
     u, v = project(u, v)
+    d_dens = _disp_global(u, v, dtim * n) if audited else None
 
     dens = state.dens + dt_c * src.dens
     alpha = cfg.diffusion_alpha_diff
     beta = 1.0 + 4.0 * alpha
     dens = diffuse(0, src.dens, dens, alpha, beta, it, use_fast=fast)
     dens = advect_one(0, dens, u, v)
-    return FluidState(dens=dens, u=u, v=v)
+    out = FluidState(dens=dens, u=u, v=v)
+    if audited:
+        return out, jnp.maximum(d_vel, d_dens)
+    return out
 
 
 def _pallas_shard_viable(cfg: SimConfig, px: int, py: int) -> bool:
@@ -484,8 +677,15 @@ def _pallas_shard_viable(cfg: SimConfig, px: int, py: int) -> bool:
 # ---------------------------------------------------------------------------
 
 
+def _disp_global(u, v, dt0):
+    """Max backtrace displacement (cells) across ALL shards — the
+    ``psum``-class diagnostic SURVEY §5 calls for, here a ``pmax``."""
+    local = jnp.maximum(jnp.abs(u).max(), jnp.abs(v).max()) * dt0
+    return jax.lax.pmax(local, ("x", "y"))
+
+
 def _step_local(cfg: SimConfig, px: int, py: int, advect_mode: str,
-                state: FluidState, src: Sources):
+                audited: bool, state: FluidState, src: Sources):
     n, dtim = cfg.n, cfg.dt
     it = cfg.jacobi_iters
     dt_c = jnp.asarray(dtim, state.u.dtype)
@@ -499,29 +699,35 @@ def _step_local(cfg: SimConfig, px: int, py: int, advect_mode: str,
         def _advect(b, d0, uu, vv):
             return _advect_local(b, d0, uu, vv, dtim, n, px, py)
 
+    project = _make_project_local(cfg, px, py)
     u = state.u + dt_c * src.u
     v = state.v + dt_c * src.v
     alpha = cfg.diffusion_alpha_visc
     beta = 1.0 + 4.0 * alpha
     u = _diffuse_local(1, src.u, u, alpha, beta, it, n, px, py)
     v = _diffuse_local(2, src.v, v, alpha, beta, it, n, px, py)
-    u, v = _project_local(u, v, n, it, px, py)
+    u, v = project(u, v)
+    d_vel = _disp_global(u, v, dtim * n) if audited else None
     u0, v0 = u, v
     u = _advect(1, u0, u0, v0)
     v = _advect(2, v0, u0, v0)
-    u, v = _project_local(u, v, n, it, px, py)
+    u, v = project(u, v)
+    d_dens = _disp_global(u, v, dtim * n) if audited else None
 
     dens = state.dens + dt_c * src.dens
     alpha = cfg.diffusion_alpha_diff
     beta = 1.0 + 4.0 * alpha
     dens = _diffuse_local(0, src.dens, dens, alpha, beta, it, n, px, py)
     dens = _advect(0, dens, u, v)
-    return FluidState(dens=dens, u=u, v=v)
+    out = FluidState(dens=dens, u=u, v=v)
+    if audited:
+        return out, jnp.maximum(d_vel, d_dens)
+    return out
 
 
 def make_sharded_step_fn(
     cfg: SimConfig, mesh: Mesh, *, advect_mode: str = "auto",
-    shard_backend: str = "auto",
+    shard_backend: str = "auto", audited: bool = False,
 ) -> Callable[[FluidState, Sources], FluidState]:
     """A jitted multi-chip step.  Inputs/outputs are global padded grids
     sharded ``P("x", "y")`` over ``mesh``; requires ``(n+2)`` divisible by
@@ -540,7 +746,17 @@ def make_sharded_step_fn(
     "reference" = jnp local ops; "pallas" = the slab kernels
     (``kernels.pallas_sharded``; requires a 1-D row mesh (px, 1), f32, and
     always-windowed advection); "auto" = pallas when ``cfg.backend`` asks
-    for it and the mesh/shape qualify, jnp otherwise."""
+    for it and the mesh/shape qualify, jnp otherwise.
+
+    ``audited=True`` returns ``(state, max_displacement)`` per step — the
+    multi-chip twin of ``models.stable_fluids_2d.step_audited`` (local max
+    reduced with ``lax.pmax`` across the mesh), so sharded bench/datagen
+    can assert the exact-gather regime (``ops/advect.py`` condition:
+    displacement < ``max_courant``) exactly like the single-chip path.
+
+    The returned callable carries ``.shard_backend`` (``"pallas"`` or
+    ``"reference"``) — which per-shard compute path was actually selected.
+    """
     if advect_mode not in ("auto", "exact", "windowed"):
         raise ValueError(f"unknown advect_mode {advect_mode!r}")
     if shard_backend not in ("auto", "reference", "pallas"):
@@ -593,24 +809,44 @@ def make_sharded_step_fn(
             and _pallas_shard_viable(cfg, px, py)
         )
 
+    if cfg.pressure_solver == "multigrid":
+        # Restriction pair-alignment needs even local blocks (both paths;
+        # the pallas path has py == 1, so its column size is the full side).
+        mloc, kloc = side // px, side // (1 if use_pallas else py)
+        if (mloc % 2) or (kloc % 2):
+            raise ValueError(
+                "sharded multigrid needs even local block sizes "
+                f"((n+2)/px and (n+2)/py even); got ({mloc}, {kloc}) "
+                f"on mesh ({px}, {py})"
+            )
+
     spec = P("x", "y")
     state_specs = FluidState(dens=spec, u=spec, v=spec, w=None)
     src_specs = Sources(dens=spec, u=spec, v=spec, w=None)
+    out_specs = (state_specs, P()) if audited else state_specs
 
     if use_pallas:
-        local = functools.partial(_step_local_pallas, cfg, px)
+        local = functools.partial(_step_local_pallas, cfg, px, audited)
     else:
-        local = functools.partial(_step_local, cfg, px, py, advect_mode)
+        local = functools.partial(_step_local, cfg, px, py, advect_mode,
+                                  audited)
     sharded = jax.shard_map(
         local,
         mesh=mesh,
         in_specs=(state_specs, src_specs),
-        out_specs=state_specs,
+        out_specs=out_specs,
         # pallas_call outputs carry no varying-mesh-axes metadata; the
         # per-shard program is manifestly per-device, so skip the vma check.
         check_vma=not use_pallas,
     )
-    return jax.jit(sharded)
+    jitted = jax.jit(sharded)
+
+    def step_fn(state, src):
+        return jitted(state, src)
+
+    step_fn.shard_backend = "pallas" if use_pallas else "reference"
+    step_fn.advect_mode = advect_mode
+    return step_fn
 
 
 def shard_state(tree, mesh: Mesh):

@@ -17,6 +17,7 @@ from fluidsimulationcuda_tpu.utils.checkpoint import (
 )
 
 
+@pytest.mark.slow
 def test_batched_matches_individual():
     """vmapped step == per-sim step, element for element."""
     cfg = SimConfig(n=14, jacobi_iters=4, backend="reference")
@@ -101,6 +102,7 @@ def test_wallclock_smoke():
     assert sec > 0
 
 
+@pytest.mark.slow
 def test_batched_pallas_kernels_match_vmapped_reference():
     """Batch-polymorphic pallas kernels (interpret mode) == vmapped jnp."""
     import jax.numpy as jnp
@@ -183,6 +185,7 @@ def test_checkpoint_newer_schema_rejected(tmp_path):
         load_checkpoint(p)
 
 
+@pytest.mark.slow
 def test_select_cmax_batched_picks_small_exact_window():
     """The probe must pick the smallest window covering the audited
     displacement, and the windowed trajectory at that cmax must agree with

@@ -22,6 +22,7 @@ def _resnorm(p, div):
     return np.abs(np.asarray(mg.residual(p, div))[1:-1, 1:-1]).max()
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("n", [64, 128])
 def test_vcycle_converges_fast(n):
     div = _div(n)
@@ -32,6 +33,7 @@ def test_vcycle_converges_fast(n):
     assert _resnorm(p3, div) < 0.02 * r0
 
 
+@pytest.mark.slow
 def test_two_cycles_beat_twenty_jacobi():
     n = 128
     div = _div(n, seed=1)
@@ -46,6 +48,7 @@ def test_mg_levels():
     assert mg.mg_levels(96) == 3    # 96 -> 48 -> 24 -> 12 (stop: 6 < 8)
 
 
+@pytest.mark.slow
 def test_step_with_multigrid_projection_runs_and_projects_better():
     cfg_j = SimConfig(n=64, jacobi_iters=20, backend="reference")
     cfg_m = cfg_j.replace(pressure_solver="multigrid", mg_cycles=2)

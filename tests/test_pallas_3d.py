@@ -34,6 +34,7 @@ def vol(rng, lo=-1.0, hi=1.0):
     )
 
 
+@pytest.mark.slow
 def test_jacobi3_matches_diffuse3(rng):
     from fluidsimulationcuda_tpu.kernels import pallas_ops_3d as k3
 
@@ -88,6 +89,7 @@ def test_divergence3_and_gradient3(rng):
 
 @pytest.mark.parametrize("disp", [(0.4, -0.3, 0.2), (1.7, 1.7, -1.7),
                                   (9.0, -9.0, 9.0)])
+@pytest.mark.slow
 def test_advect3_shift_matches_windowed(rng, disp):
     """Constant displacements spanning the window incl. clamped regime."""
     from fluidsimulationcuda_tpu.kernels import pallas_ops_3d as k3
@@ -118,6 +120,7 @@ def test_advect3_random_velocities(rng):
                                rtol=0, atol=3e-6)
 
 
+@pytest.mark.slow
 def test_advect3_fused_self_advection(rng):
     from fluidsimulationcuda_tpu.kernels import pallas_ops_3d as k3
 
@@ -132,6 +135,7 @@ def test_advect3_fused_self_advection(rng):
         )
 
 
+@pytest.mark.slow
 def test_step3_pallas_matches_jnp(rng):
     """Full 3-D step through the model dispatch: pallas backend == jnp."""
     from fluidsimulationcuda_tpu.core.state import FluidState, Sources

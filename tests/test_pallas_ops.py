@@ -138,6 +138,7 @@ def test_div_grad(strip_mode, fn_pair):
         np.testing.assert_allclose(np.asarray(gv), np.asarray(wv), **TOL)
 
 
+@pytest.mark.slow
 def test_full_step_pallas_backend(strip_mode):
     """End-to-end: one full step through the pallas OpSet vs reference."""
     from fluidsimulationcuda_tpu import SimConfig, reference_init
@@ -206,6 +207,7 @@ def test_supports_rejects_non_8_divisible_side():
     assert po.supports(SimConfig(n=8190))      # side 8192 (reference config)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("iters,cmax", [(6, 2), (5, 1), (20, 1)])
 def test_fused_dens_advect(strip_mode, iters, cmax):
     """Whole density pair (diffuse_src -> advect) fused in one kernel must
@@ -226,6 +228,7 @@ def test_fused_dens_advect(strip_mode, iters, cmax):
     )
 
 
+@pytest.mark.slow
 def test_fused_dens_advect_batched(strip_mode):
     side, nb = 96, 2
     n = side - 2
@@ -274,6 +277,7 @@ def test_bf16_supports_gate():
     assert pallas_ops.supports(SimConfig(n=134))
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("iters", [3, 20])
 def test_bf16_jacobi_tracks_f32(strip_mode, iters):
     """bf16 storage Jacobi must track the f32 solve to storage precision:
@@ -329,6 +333,7 @@ def test_bf16_projection_tracks_f32(strip_mode):
     )
 
 
+@pytest.mark.slow
 def test_bf16_full_step_differential_and_finite():
     """Whole bf16 pallas step (interpret mode): finite fields; the KERNEL
     bf16 trajectory must track the jnp bf16 trajectory tightly (both do f32
@@ -364,6 +369,7 @@ def test_bf16_full_step_differential_and_finite():
     assert rl2(s_p16.dens, s_p32.dens) < 0.15   # inherent bf16 drift bound
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("iters", [3, 20])
 def test_fused_jacobi_pair_matches_two_singles(strip_mode, iters):
     """The batched u+v pair kernel (per-slab boundary signs) must match two
@@ -381,6 +387,7 @@ def test_fused_jacobi_pair_matches_two_singles(strip_mode, iters):
     np.testing.assert_array_equal(np.asarray(g2), np.asarray(w2))
 
 
+@pytest.mark.slow
 def test_fused_jacobi_pair_batched(strip_mode):
     side, nb = 64, 3
     s1 = jnp.stack([_grid(60 + i, side, 0.5) for i in range(nb)])

@@ -24,6 +24,7 @@ def test_scenarios_run_stable(name):
         assert d.max() > 0  # dye actually entered the domain
 
 
+@pytest.mark.slow
 def test_png_render(tmp_path):
     cfg = SimConfig(n=30, jacobi_iters=6, backend="reference")
     state, sources, _ = SCENARIOS["vortex-pair"](jax.random.key(1), cfg)

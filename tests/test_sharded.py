@@ -31,6 +31,7 @@ def _run(step_fn, state, sources, zeros, steps):
     return s
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("mesh_shape", [(2, 2), (4, 2), (8, 1), (1, 8)])
 def test_sharded_matches_single_device(mesh_shape):
     cfg = SimConfig(n=30, jacobi_iters=10, backend="reference")  # side 32
@@ -63,6 +64,7 @@ def test_sharded_rejects_bad_mesh():
         make_sharded_step_fn(cfg, mesh)
 
 
+@pytest.mark.slow
 def test_sharded_output_stays_sharded():
     cfg = SimConfig(n=30, jacobi_iters=4, backend="reference")
     mesh = make_mesh(jax.devices()[:4], (2, 2))
@@ -105,6 +107,7 @@ def test_sharded_windowed_advect_matches_jnp_windowed():
         )
 
 
+@pytest.mark.slow
 def test_sharded_step_windowed_mode_runs():
     cfg = SimConfig(n=30, jacobi_iters=6, backend="reference", max_courant=3)
     mesh = make_mesh(jax.devices()[:4], (2, 2))
@@ -117,8 +120,8 @@ def test_sharded_step_windowed_mode_runs():
 def test_sharded_windowed_rejects_too_small_shards():
     """Windowed advection needs >= max_courant+1 rows/cols per shard."""
     devs = jax.devices()[:4]
-    mesh = make_mesh(devs)  # 2x2
-    # side=8 over a 2x2 mesh -> 4 rows per shard < max_courant+1 = 5
+    mesh = make_mesh(devs)  # default row layout: 4x1
+    # side=8 over a 4x1 mesh -> 2 rows per shard < max_courant+1 = 5
     cfg = SimConfig(n=6, jacobi_iters=2, backend="reference", max_courant=4)
     with pytest.raises(ValueError, match="windowed advection"):
         make_sharded_step_fn(cfg, mesh, advect_mode="windowed")

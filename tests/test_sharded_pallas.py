@@ -50,6 +50,7 @@ def _run_pair(cfg, mesh_shape, steps=1):
     return zp, zj
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("mesh_shape", [(8, 1), (4, 1), (2, 1), (1, 1)])
 def test_sharded_pallas_matches_sharded_jnp(mesh_shape):
     cfg = SimConfig(n=62, jacobi_iters=6, backend="pallas", max_courant=2)
@@ -61,6 +62,7 @@ def test_sharded_pallas_matches_sharded_jnp(mesh_shape):
         np.testing.assert_allclose(a, b, rtol=0, atol=1e-6, err_msg=name)
 
 
+@pytest.mark.slow
 def test_sharded_pallas_multi_chunk_jacobi():
     """iters > fuse_sweeps forces multiple halo-exchange chunks."""
     cfg = SimConfig(n=62, jacobi_iters=9, fuse_sweeps=4, backend="pallas",
@@ -74,6 +76,7 @@ def test_sharded_pallas_multi_chunk_jacobi():
         )
 
 
+@pytest.mark.slow
 def test_sharded_pallas_multi_step_vs_single_device():
     """3 steps sharded-pallas == 3 steps single-device jnp windowed."""
     cfg = SimConfig(n=30, jacobi_iters=4, backend="pallas", max_courant=2)
@@ -93,6 +96,7 @@ def test_sharded_pallas_multi_step_vs_single_device():
         )
 
 
+@pytest.mark.slow
 def test_sharded_pallas_fast_math_runs():
     cfg = SimConfig(n=30, jacobi_iters=4, backend="pallas", max_courant=2,
                     fast_math=True)
@@ -116,6 +120,7 @@ def test_sharded_pallas_rejects_exact_advect():
                              shard_backend="pallas")
 
 
+@pytest.mark.slow
 def test_sharded_auto_uses_jnp_for_reference_backend():
     """shard_backend='auto' with cfg.backend='reference' stays on jnp and
     still runs (no pallas requirement leakage)."""

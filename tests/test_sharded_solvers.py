@@ -1,0 +1,151 @@
+"""Sharded pressure solvers (multigrid / CG) and the sharded audit.
+
+Round-3 additions (VERDICT items 3 & 8): ``pressure_solver="multigrid"/"cg"``
+work inside ``shard_map`` (fine level distributed with 1-halo exchanges,
+coarse multigrid levels psum-replicated; CG is local stencils + psum dot
+products), the sharded step has an audited twin, and the DEFAULT mesh takes
+the Pallas slab path.  Runs on 8 virtual CPU devices (conftest).
+"""
+import functools
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from fluidsimulationcuda_tpu import (
+    SimConfig,
+    make_step_fn,
+    reference_init,
+    step_audited,
+    zero_sources,
+)
+from fluidsimulationcuda_tpu.kernels import pallas_ops
+from fluidsimulationcuda_tpu.parallel.mesh import make_mesh
+from fluidsimulationcuda_tpu.parallel.sharded import (
+    make_sharded_step_fn,
+    shard_state,
+)
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 4, reason="needs >=4 devices (virtual CPU mesh)"
+)
+
+
+def _run(step_fn, state, sources, zeros, steps):
+    s = state
+    for k in range(steps):
+        s = step_fn(s, sources if k == 0 else zeros)
+    return s
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("solver", ["cg", "multigrid"])
+@pytest.mark.parametrize("mesh_shape", [(2, 2), (4, 1)])
+def test_sharded_solver_matches_single_device(solver, mesh_shape):
+    """Sharded mg/cg vs the unsharded step with the same solver.  Not
+    bit-exact: the psum dot products (CG) and 2x2 restriction sums (MG)
+    reassociate float reductions."""
+    cfg = SimConfig(n=30, jacobi_iters=8, backend="reference",
+                    pressure_solver=solver, mg_cycles=2, cg_iters=12)
+    state, sources = reference_init(jax.random.key(3), cfg)
+    zeros = zero_sources(cfg)
+    want = _run(make_step_fn(cfg), state, sources, zeros, 2)
+
+    mesh = make_mesh(jax.devices()[: mesh_shape[0] * mesh_shape[1]],
+                     mesh_shape)
+    step = make_sharded_step_fn(cfg, mesh)
+    got = _run(step, shard_state(state, mesh), shard_state(sources, mesh),
+               shard_state(zeros, mesh), 2)
+    for name in ("dens", "u", "v"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(got, name)), np.asarray(getattr(want, name)),
+            rtol=2e-5, atol=2e-5, err_msg=f"{solver}/{name}",
+        )
+
+
+def test_sharded_mg_rejects_odd_blocks():
+    # side 36 over 8 row-shards -> 4.5 rows: indivisible caught first; use
+    # a mesh where blocks divide but are odd: side 36 over (4, 4) -> 9x9.
+    cfg = SimConfig(n=34, backend="reference", pressure_solver="multigrid")
+    mesh = make_mesh(jax.devices()[:8], (4, 2))  # 9 x 18 local blocks
+    with pytest.raises(ValueError, match="even local block"):
+        make_sharded_step_fn(cfg, mesh)
+
+
+def test_sharded_audited_matches_single_device_audit():
+    cfg = SimConfig(n=30, jacobi_iters=8, backend="reference")
+    state, sources = reference_init(jax.random.key(5), cfg)
+    _, want_disp = jax.jit(functools.partial(step_audited, cfg))(
+        state, sources
+    )
+
+    mesh = make_mesh(jax.devices()[:4], (2, 2))
+    step = make_sharded_step_fn(cfg, mesh, audited=True)
+    out, got_disp = step(shard_state(state, mesh),
+                         shard_state(sources, mesh))
+    assert np.isfinite(np.asarray(out.dens)).all()
+    np.testing.assert_allclose(float(got_disp), float(want_disp),
+                               rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.slow
+def test_default_mesh_takes_pallas_slab_path():
+    """The blessed default: make_mesh with no shape must produce a row mesh
+    on which shard_backend='auto' + backend='pallas' selects the slab
+    kernels (VERDICT round 2, item 3)."""
+    prev = pallas_ops.INTERPRET
+    pallas_ops.INTERPRET = True
+    try:
+        devs = jax.devices()[:8]
+        mesh = make_mesh(devs)
+        assert (mesh.shape["x"], mesh.shape["y"]) == (8, 1)
+        cfg = SimConfig(n=62, jacobi_iters=4, backend="pallas",
+                        max_courant=2)
+        step = make_sharded_step_fn(cfg, mesh, audited=True)
+        assert step.shard_backend == "pallas"
+
+        state, sources = reference_init(jax.random.key(7), cfg)
+        out, disp = step(shard_state(state, mesh),
+                         shard_state(sources, mesh))
+        # Parity vs the unsharded pallas step (same kernels, wall flags on).
+        want = jax.jit(functools.partial(
+            __import__("fluidsimulationcuda_tpu").step, cfg))(state, sources)
+        for name in ("dens", "u", "v"):
+            np.testing.assert_allclose(
+                np.asarray(getattr(out, name)),
+                np.asarray(getattr(want, name)),
+                rtol=1e-6, atol=1e-6, err_msg=name,
+            )
+        assert 0.0 <= float(disp) < cfg.max_courant
+    finally:
+        pallas_ops.INTERPRET = prev
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("solver", ["cg", "multigrid"])
+def test_sharded_pallas_path_with_solver(solver):
+    """mg/cg compose with the Pallas slab kernels on a row mesh."""
+    prev = pallas_ops.INTERPRET
+    pallas_ops.INTERPRET = True
+    try:
+        cfg = SimConfig(n=30, jacobi_iters=4, backend="pallas",
+                        max_courant=2, pressure_solver=solver,
+                        mg_cycles=1, cg_iters=8)
+        mesh = make_mesh(jax.devices()[:2], (2, 1))
+        step = make_sharded_step_fn(cfg, mesh, shard_backend="pallas",
+                                    advect_mode="windowed")
+        assert step.shard_backend == "pallas"
+        state, sources = reference_init(jax.random.key(11), cfg)
+        got = step(shard_state(state, mesh), shard_state(sources, mesh))
+
+        want = _run(make_step_fn(cfg), state, sources, zero_sources(cfg), 1)
+        for name in ("dens", "u", "v"):
+            np.testing.assert_allclose(
+                np.asarray(getattr(got, name)),
+                np.asarray(getattr(want, name)),
+                rtol=2e-5, atol=2e-5, err_msg=f"{solver}/{name}",
+            )
+    finally:
+        pallas_ops.INTERPRET = prev

@@ -114,6 +114,7 @@ def test_density_nonnegative_and_bounded():
     assert np.asarray(out.dens).min() > -1e-6
 
 
+@pytest.mark.slow
 def test_bf16_mode_runs():
     """bf16 datagen mode: reduced-precision numerics, must stay finite and
     qualitatively track the f32 run (no parity claim)."""

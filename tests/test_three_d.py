@@ -101,6 +101,7 @@ def test_project3_reduces_divergence():
     assert np.abs(div1).mean() < 0.15 * np.abs(div0).mean()
 
 
+@pytest.mark.slow
 def test_step3_runs_and_stays_finite():
     cfg = SimConfig(n=10, jacobi_iters=6, ndim=3, backend="reference")
     state, sources = reference_init(jax.random.key(5), cfg)
@@ -113,6 +114,7 @@ def test_step3_runs_and_stays_finite():
     assert np.asarray(s.dens).min() > -1e-5
 
 
+@pytest.mark.slow
 def test_advect3_windowed_matches_exact_inside_window():
     n = 10
     d0, u, v, w = _vol(6, n), _vol(7, n, 1.0), _vol(8, n, 1.0), _vol(9, n, 1.0)
@@ -130,6 +132,7 @@ def test_advect3_windowed_clamps_finite():
     assert out.max() <= np.asarray(d0).max() + 1e-6
 
 
+@pytest.mark.slow
 def test_step_audited3_matches_step3_and_bounds_displacement():
     """The audited 3-D step must return the identical next state as step3
     plus a positive, finite displacement below the window in the stable
