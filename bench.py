@@ -43,10 +43,10 @@ from fluidsimulationcuda_tpu import (  # noqa: E402
 BASELINE_MCELLS_PER_S = 56.8  # derived above
 
 
-def _run(step_fn, state, zeros, steps) -> float:
+def _run(step_fn, state, drive, steps) -> float:
     t0 = time.perf_counter()
     for _ in range(steps):
-        state = step_fn(state, zeros)
+        state = step_fn(state, drive)
     # block_until_ready is a no-op through the remote-relay backend; force a
     # real device round-trip.
     _ = float(state.dens.ravel()[0])
@@ -74,25 +74,27 @@ def inject_exact(cfg: SimConfig):
     return state, float(disp)
 
 
-def audit_displacement(cfg: SimConfig, state, steps: int) -> float:
+def audit_displacement(cfg: SimConfig, state, steps: int,
+                       drive=None) -> float:
     """Max backtrace displacement (cells) actually seen by every advection
-    call site over ``steps`` zero-source steps from ``state`` — the audit
-    that the VERDICT's exact-regime claim rides on.  The trajectory is
-    deterministic, so replaying it untimed observes exactly what the timed
-    loop will do."""
-    zeros = zero_sources(cfg)
+    call site over ``steps`` steps from ``state`` (``drive``: per-step
+    sources; None = zero-source steady decay) — the audit that the
+    exact-regime claim rides on.  The trajectory is deterministic, so
+    replaying it untimed observes exactly what the timed loop will do."""
+    drive = zero_sources(cfg) if drive is None else drive
     audited = jax.jit(functools.partial(step_audited, cfg))
     disps = []
     for _ in range(steps):
-        state, d = audited(state, zeros)
+        state, d = audited(state, drive)
         disps.append(d)
     return max(float(d) for d in disps)
 
 
-def select_cmax(cfg: SimConfig, state, steps: int, margin: float = 0.25):
+def select_cmax(cfg: SimConfig, state, steps: int, margin: float = 0.25,
+                drive=None):
     """Auto-select the advection gather window: smallest ``cmax`` whose
-    exactness condition (displacement < cmax, see
-    ``kernels/pallas_ops.py:586-600`` clamp) holds with ``margin`` cells to
+    exactness condition (displacement < cmax, proof in
+    ``ops/advect.py:advect_windowed``) holds with ``margin`` cells to
     spare over the audited trajectory.  Audits with the candidate window,
     growing it if the trajectory was clamped (a clamped replay is not the
     true trajectory), then shrinks to the smallest sufficient window — the
@@ -101,7 +103,7 @@ def select_cmax(cfg: SimConfig, state, steps: int, margin: float = 0.25):
     c = cfg.max_courant
     for _ in range(6):
         dmax = audit_displacement(dataclasses.replace(cfg, max_courant=c),
-                                  state, steps)
+                                  state, steps, drive=drive)
         if dmax < c - margin:
             return max(1, int(math.floor(dmax + margin)) + 1), dmax
         c = int(math.ceil(dmax + 2 * margin))
@@ -109,32 +111,42 @@ def select_cmax(cfg: SimConfig, state, steps: int, margin: float = 0.25):
 
 
 def bench_step(cfg: SimConfig, steps: int, warmup: int = 3,
-               auto_cmax: bool = False) -> float:
-    """Marginal seconds per step, steady state with zero sources (the
-    reference's 50-step averaged loop,
+               auto_cmax: bool = False, forcing: float = 0.0) -> float:
+    """Marginal seconds per step (the reference's 50-step averaged loop,
     ``optPar/LOOPUNROLLED-Interleaved2.cu:680-727``).
+
+    ``forcing=0``: steady decay with zero sources (the reference harness —
+    sources fire on step 1 only, ``FluidSequential.c:289-303``).
+    ``forcing=s``: the reference's random sources, scaled by ``s``, fire
+    EVERY step — continuous inflow with sustained multi-cell displacement;
+    the audit machinery then picks the honest (larger) gather window.
 
     Measured as the slope between a short and a long run: the remote-relay
     TPU path adds a large fixed sync latency per measurement that a naive
     mean would smear into the result.
     """
     state, transient = inject_exact(cfg)
+    if forcing:
+        _, sources = reference_init(jax.random.key(0), cfg)
+        drive = jax.tree.map(lambda s: forcing * s, sources)
+    else:
+        drive = None
 
     if auto_cmax:
-        cmax, disp = select_cmax(cfg, state, warmup + steps)
+        cmax, disp = select_cmax(cfg, state, warmup + steps, drive=drive)
         cfg = dataclasses.replace(cfg, max_courant=cmax)
     else:
-        disp = audit_displacement(cfg, state, warmup + steps)
+        disp = audit_displacement(cfg, state, warmup + steps, drive=drive)
 
-    zeros = zero_sources(cfg)
+    drive_t = zero_sources(cfg) if drive is None else drive
     step_fn = make_step_fn(cfg)
     for _ in range(warmup):
-        state = step_fn(state, zeros)
+        state = step_fn(state, drive_t)
     _ = float(state.dens.ravel()[0])
 
     short = max(2, steps // 5)
-    t_short = min(_run(step_fn, state, zeros, short) for _ in range(2))
-    t_long = min(_run(step_fn, state, zeros, steps) for _ in range(2))
+    t_short = min(_run(step_fn, state, drive_t, short) for _ in range(2))
+    t_long = min(_run(step_fn, state, drive_t, steps) for _ in range(2))
     bench_step.last_max_displacement = disp
     bench_step.last_transient = transient
     bench_step.last_cmax = cfg.max_courant
@@ -152,6 +164,11 @@ def main() -> None:
                          "pick the smallest window the audited trajectory "
                          "provably fits; see SimConfig.max_courant)")
     ap.add_argument("--sweep", action="store_true")
+    ap.add_argument("--forcing", type=float, nargs="?", const=0.05,
+                    default=0.0, metavar="SCALE",
+                    help="drive the reference's random sources (scaled) "
+                         "EVERY step — continuous inflow with sustained "
+                         "displacement; auto-cmax picks the honest window")
     args = ap.parse_args()
 
     print(f"jax {jax.__version__} backend={jax.default_backend()} "
@@ -180,19 +197,24 @@ def main() -> None:
 
     cfg = SimConfig(n=args.n, jacobi_iters=args.iters, backend=args.backend,
                     max_courant=cmax0)
-    sec = bench_step(cfg, steps=args.steps, auto_cmax=auto_cmax)
+    sec = bench_step(cfg, steps=args.steps, auto_cmax=auto_cmax,
+                     forcing=args.forcing)
     mcells = cfg.num_cells / sec / 1e6
     disp = bench_step.last_max_displacement
     cmax = bench_step.last_cmax
     exact = disp < cmax
-    print(f"{sec * 1e3:.3f} ms/step at {cfg.n + 2}², {args.iters} Jacobi iters; "
+    mode = (f"continuous forcing x{args.forcing}" if args.forcing
+            else "steady decay")
+    print(f"{sec * 1e3:.3f} ms/step at {cfg.n + 2}², {args.iters} Jacobi "
+          f"iters, {mode}; "
           f"injection step exact-gather (transient "
           f"{bench_step.last_transient:.1f} cells, untimed); audited timed-"
           f"trajectory displacement {disp:.3f} cells "
           f"({'exact' if exact else 'CLAMPED'} regime for cmax={cmax})",
           file=sys.stderr)
     print(json.dumps({
-        "metric": f"full-step throughput @ {cfg.n + 2}^2, {args.iters} Jacobi iters, advect window +-{cmax}",
+        "metric": f"full-step throughput @ {cfg.n + 2}^2, {args.iters} Jacobi iters, advect window +-{cmax}"
+                  + (f", forcing x{args.forcing}" if args.forcing else ""),
         "value": round(mcells, 1),
         "unit": "Mcell-updates/s",
         "vs_baseline": round(mcells / BASELINE_MCELLS_PER_S, 2),

@@ -49,6 +49,17 @@ def main():
         d = np.abs(a - b).max()
         print(f"parity {name}: max|d| = {d:.3e}  (finite={np.isfinite(b).all()})")
 
+    # Sharded audit (round 3): the pmax-reduced displacement lets the
+    # sharded path assert the exact-gather regime like the single-chip
+    # bench does.
+    auditor = make_sharded_step_fn(cfg, mesh, advect_mode="windowed",
+                                   shard_backend="pallas", audited=True)
+    _, disp = auditor(sst, ssrc)
+    d = float(disp)
+    print(f"sharded audited displacement: {d:.3f} cells "
+          f"({'exact' if d < cfg.max_courant else 'CLAMPED'} for "
+          f"cmax={cfg.max_courant})")
+
     t_base = wallclock(base, state, sources, reps=3, chain=8)
     t_sh = wallclock(sh, sst, ssrc, reps=3, chain=8)
     cells = (n + 2) ** 2

@@ -251,11 +251,12 @@ def bf16_differential(n=254, iters=20):
     check("bf16 advect pair compiled vs jnp-f32 twin", d < 1e-2, f"{d:.2e}")
 
 
-def three_d_differential(side=128, iters=20):
+def three_d_differential(side=128, iters=20, perf_budget_ms=15.0):
     """3-D Pallas kernels, compiled on hardware, vs the jnp 3-D ops.
     Regression guard for the out-of-bounds-window fault class (an OOB
     dynamic VMEM slice in advect3 crashed the chip in round 2 — interpret
-    mode cannot catch those) plus the audited-window step perf point."""
+    mode cannot catch those) plus the audited-window step perf point.
+    Called at 128³ and (--full) 256³ — BASELINE config 5 as written."""
     import functools
 
     import jax.numpy as jnp
@@ -281,16 +282,16 @@ def three_d_differential(side=128, iters=20):
 
     got = o3.set_bnd3(0, k3.fused_jacobi3(0, x, x0, 0.3, 2.8, iters))
     d = maxd(got, o3.diffuse3(0, x, x0, 0.3, 2.8, iters))
-    check("diff 3-D jacobi compiled vs jnp", d < 1e-5, f"{d:.2e}")
+    check(f"diff 3-D jacobi compiled vs jnp @{side}", d < 1e-5, f"{d:.2e}")
 
     got = o3.set_bnd3(0, k3.advect3_shift(0, x, u, v, w, 0.05, n, cmax=2))
     d = maxd(got, o3.advect3_windowed(0, x, u, v, w, 0.05, n, 2))
-    check("diff 3-D advect compiled vs jnp (incl. wall strips)",
+    check(f"diff 3-D advect compiled vs jnp @{side} (incl. wall strips)",
           d < 1e-5, f"{d:.2e}")
 
     dv = o3.set_bnd3(0, k3.divergence3_p(u, v, w, n))
     d = maxd(dv, o3.divergence3(u, v, w, n))
-    check("diff 3-D divergence compiled vs jnp", d < 1e-5, f"{d:.2e}")
+    check(f"diff 3-D divergence compiled vs jnp @{side}", d < 1e-5, f"{d:.2e}")
 
     # Audited step perf: the trajectory displacement is ~0.03 cells, so the
     # cubic-cost gather runs its smallest window, provably exact.
@@ -317,8 +318,8 @@ def three_d_differential(side=128, iters=20):
     t1 = min(run(4) for _ in range(2))
     t2 = min(run(20) for _ in range(2))
     ms = (t2 - t1) / 16 * 1e3
-    check(f"perf 3-D {side}^3/{iters}it audited window", ms < 15.0,
-          f"{ms:.2f} ms/step (budget 15.0)")
+    check(f"perf 3-D {side}^3/{iters}it audited window", ms < perf_budget_ms,
+          f"{ms:.2f} ms/step (budget {perf_budget_ms})")
 
 
 def perf_point(n, iters, cmax, expect_ms, steps=100):
@@ -358,6 +359,7 @@ def main():
     perf_point(2046, 20, 2, expect_ms=6.0)
     if args.full:
         three_d_differential()
+        three_d_differential(side=256, iters=20, perf_budget_ms=110.0)
         perf_point(8190, 40, 2, expect_ms=200.0, steps=15)
         from fluidsimulationcuda_tpu.models.batched import generate_trajectories
 

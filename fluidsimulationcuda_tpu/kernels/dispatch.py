@@ -41,6 +41,10 @@ class OpSet(NamedTuple):
     # diffuse_src -> advect (``FluidSequential.c:176-186``) in one kernel.
     # None = compose the two ops (reference backend, unsupported shapes).
     diffuse_advect: Callable | None = None
+    # Optional cross-op fusion: self-advect (u, v) -> second projection
+    # (``FluidSequential.c:232-240``) in one kernel (Jacobi solver only).
+    # None = compose advect_pair + project.
+    advect_project: Callable | None = None
 
 
 def _advect_pair_ref(b1, b2, d1, d2, u, v, dt, n):

@@ -58,6 +58,9 @@ _ADVECT_TM = 32  # advection strip height cap (static-unrolled gather stack is V
 _VMEM_LIMIT = 48 * 2**20
 _VMEM_BUDGET = 11 * 2**20
 _SWEEP_BUDGET = 36 * 2**20
+# Scoped-vmem cap for the sweep-window kernels (jacobi / projection / fused
+# dens).  96MB scratch is verified working on this chip; 64 leaves headroom.
+_SWEEP_KERNEL_CAP = 64 * 2**20
 
 
 def _cparams():
@@ -91,16 +94,24 @@ def _pick_tm(side: int) -> int | None:
     return None
 
 
-def _advect_tm(side: int, nf: int, cap: int = None, st: int = 8) -> int | None:
+def _advect_tm(side: int, nf: int, cmax: int = 4, cap: int = None,
+               st: int = 8) -> int | None:
     """Viable advection strip height, or None.  Mirrors the selection in
     ``_advect_call``: the strip must divide ``side``, be a multiple of the
     sublane tile ``st`` (blocked-spec row offsets), and its blocked windows
-    + accumulators + Mosaic stack must fit the VMEM budget."""
+    + accumulators + Mosaic stack must fit the VMEM budget.
+
+    The budget is window-aware: the Mosaic stack that bounds this kernel
+    scales with the (2C+1)² unrolled term chain, so tiny windows (cmax=1,
+    the audited headline) afford twice the buffer budget — without this,
+    8192-wide grids fell to 8-row strips and the u/v pair kernel lost its
+    viable height entirely (round-2's 8192² advect fallback)."""
     rows_per_tm = 36 if nf == 1 else 50
+    budget = _VMEM_BUDGET * (2 if cmax <= 1 else 1)
     for cand in ((_ADVECT_TM if cap is None else cap), 128, 64, 32, 16, 8):
         if cand % st != 0:
             continue
-        if side % cand == 0 and rows_per_tm * cand * side * 4 <= _VMEM_BUDGET:
+        if side % cand == 0 and rows_per_tm * cand * side * 4 <= budget:
             return cand
     return None
 
@@ -224,6 +235,7 @@ def _jacobi_kernel(
     tm: int, wr: int, side: int, zero_init: bool, margin: int,
     nstrips: int, total: int, st: int = 8, nb1: int = 0,
     src_dt: float | None = None, fast: bool = False,
+    damp: float | None = None,
 ):
     # Grid is (batch, strips): batched simulations are independent grids
     # stacked on a leading axis (unbatched arrays are reshaped to B=1).
@@ -311,6 +323,9 @@ def _jacobi_kernel(
     a_c = jnp.asarray(alpha, dt)
     ab_c = jnp.asarray(alpha / beta, dt)
     b_c = jnp.asarray(beta, dt)
+    if damp is not None:
+        w_c = jnp.asarray(damp, dt)
+        omw_c = jnp.asarray(1.0 - damp, dt)
 
     def sweep(src, dst):
         # Fully-aligned formulation: static rolls instead of offset slices
@@ -329,9 +344,14 @@ def _jacobi_kernel(
         if fast:
             # rhs pre-scaled by 1/beta; one FMA instead of add+div.
             # ~1 ulp/sweep from the reference expression (opt-in).
-            dst[:] = rhs_buf[:] + ab_c * neigh
+            val = rhs_buf[:] + ab_c * neigh
         else:
-            dst[:] = (rhs_buf[:] + a_c * neigh) / b_c
+            val = (rhs_buf[:] + a_c * neigh) / b_c
+        if damp is not None:
+            # Damped Jacobi (the multigrid smoother, ops/multigrid._smooth):
+            # plain Jacobi leaves the checkerboard mode undamped.
+            val = omw_c * s + w_c * val
+        dst[:] = val
         # Corners deferred to the output epilogue: they are never stencil
         # inputs and the per-sweep 1x1 stores dominate the kernel otherwise.
         _apply_bnd_window(dst, b_bc, start, wr, side, corners=False,
@@ -367,6 +387,7 @@ def fused_jacobi(
     src_dt: float | None = None,
     fast: bool = False,
     nb1: int = 0,
+    damp: float | None = None,
 ) -> jnp.ndarray:
     """``iters`` Jacobi sweeps (semantics of ``ops.diffuse``) with up to
     ``max_fused`` sweeps per HBM round-trip.  ``zero_init`` skips loading the
@@ -393,7 +414,7 @@ def fused_jacobi(
             b, x, x0, float(alpha), float(beta), k, tm, side,
             zero_init and first,
             float(src_dt) if (src_dt is not None and first) else None,
-            fast, nb1,
+            fast, nb1, None if damp is None else float(damp),
         )
         first = False
         remaining -= k
@@ -402,10 +423,10 @@ def fused_jacobi(
 
 @functools.partial(
     jax.jit, static_argnames=("b", "alpha", "beta", "sweeps", "tm", "side",
-                              "zero_init", "src_dt", "fast", "nb1")
+                              "zero_init", "src_dt", "fast", "nb1", "damp")
 )
 def _fused_jacobi_call(b, x, x0, alpha, beta, sweeps, tm, side, zero_init,
-                       src_dt=None, fast=False, nb1=0):
+                       src_dt=None, fast=False, nb1=0, damp=None):
     st = _sub(x0.dtype)
     if tm == side:
         wr = side  # whole grid in one window; margin condition is vacuous
@@ -424,7 +445,7 @@ def _fused_jacobi_call(b, x, x0, alpha, beta, sweeps, tm, side, zero_init,
         _jacobi_kernel, b=b, alpha=alpha, beta=beta, sweeps=sweeps,
         tm=tm, wr=wr, side=side, zero_init=zero_init, margin=margin,
         nstrips=nstrips, total=nb * nstrips, st=st, nb1=nb1,
-        src_dt=src_dt, fast=fast,
+        src_dt=src_dt, fast=fast, damp=damp,
     )
     out = pl.pallas_call(
         kernel,
@@ -448,7 +469,7 @@ def _fused_jacobi_call(b, x, x0, alpha, beta, sweeps, tm, side, zero_init,
         # peak at ~50MB with 128-row strips; same raised per-kernel cap as
         # the projection/dens kernels (96MB scratch verified on this chip).
         compiler_params=None if INTERPRET else pltpu.CompilerParams(
-            vmem_limit_bytes=64 * 2**20
+            vmem_limit_bytes=_SWEEP_KERNEL_CAP
         ),
     )(x, x0)
     return out.reshape(side, side) if squeeze else out
@@ -634,6 +655,14 @@ def fused_project_supported(side: int, iters: int, st: int = 8) -> bool:
     while 7 * (tm + 2 * margin) * side * 4 > _SWEEP_BUDGET and tm > 32:
         tm //= 2
     wr = tm + 2 * margin
+    # Profitability: every strip re-sweeps its whole wr-row window, so once
+    # the margin stops amortizing (VMEM-squeezed tm against a deep
+    # iters-margin) the fused kernel does MORE sweep work than the
+    # composition (divergence_p + chunked fused_jacobi + gradient_p, whose
+    # chunks keep a ~1.1-1.4x ratio).  Measured at 8192^2/40it: fused tm=64
+    # (ratio 2.5) ran 31.4 ms vs ~17.6 composed.
+    if wr > (3 * tm) // 2:
+        return False
     return 7 * wr * side * 4 <= _SWEEP_BUDGET and wr <= side
 
 
@@ -695,7 +724,7 @@ def _fused_project_call(u, v, n, iters):
         # this kernel only (96MB scratch verified working on this chip, and
         # the tall strip measured faster than shrinking it to fit 16MB).
         compiler_params=None if INTERPRET else pltpu.CompilerParams(
-            vmem_limit_bytes=64 * 2**20
+            vmem_limit_bytes=_SWEEP_KERNEL_CAP
         ),
     )(u, v)
     if squeeze:
@@ -886,7 +915,7 @@ def _advect_call(bs, d0s, dt, n, cmax, self_adv, u, v):
     # Strip height bounded by VMEM (blocked windows + accumulators + Mosaic
     # stack all scale with tm x nf x side); ~19/26 full-width rows of live
     # data per output row, empirically calibrated against the 16MB limit.
-    tm = _advect_tm(side, nf, st=st)
+    tm = _advect_tm(side, nf, cmax, st=st)
     if tm is None:
         raise ValueError(f"advect: no viable strip height for side={side}")
     assert cmax + 1 <= tm
@@ -1241,7 +1270,7 @@ def _dens_fused_call(b, src, base, u, v, alpha, beta, iters, dt, n, cmax,
         # values push the 20-iter working set past Mosaic's default 16MB
         # (~53MB at 2048^2/20it with the pipelined blocked u/v/out strips).
         compiler_params=None if INTERPRET else pltpu.CompilerParams(
-            vmem_limit_bytes=64 * 2**20
+            vmem_limit_bytes=_SWEEP_KERNEL_CAP
         ),
     )(src, base, u, v)
     return out.reshape(side, side) if squeeze else out
@@ -1310,14 +1339,19 @@ def _halo1_specs(side: int, st: int = 8):
     """(tm, specs3) for a 1-halo stencil over row strips: three shifted
     blocked inputs per halo'd operand (auto-pipelined; no manual DMA).
 
-    Strip height is capped at 128 independently of ``_pick_tm``: these
-    kernels have no sweep margin to amortize (overhead is a fixed 2 halo
-    rows), and Pallas double-buffers every blocked window, so gradient_p's
-    7 windows at tm=512/side=2048 would need 56MB of scoped VMEM."""
+    Strip height is capped independently of ``_pick_tm``: these kernels
+    have no sweep margin to amortize (overhead is a fixed 2 halo rows), and
+    Pallas double-buffers every blocked window, so gradient_p's 7 windows
+    (x2 buffering) must fit the 48MB scoped cap — at 8192 wide that caps
+    the strip at 64 rows (tm=128 hit a 56MB scoped-vmem compile error the
+    moment the projection fell back to composition at this size)."""
+    tm_cap = 128
+    while tm_cap > st and 14 * tm_cap * side * 4 > 40 * 2**20:
+        tm_cap //= 2
     tm = _pick_tm(side)
-    if tm == side or tm > 128 or tm % st != 0:
+    if tm == side or tm > tm_cap or tm % st != 0:
         for cand in (128, 64, 32, 16, 8):
-            if cand % st == 0 and side % cand == 0:
+            if cand <= tm_cap and cand % st == 0 and side % cand == 0:
                 tm = cand
                 break
         else:
@@ -1482,4 +1516,12 @@ def make_opset(cfg: SimConfig) -> OpSet:
         project=project,
         diffuse_src=diffuse_src,
         diffuse_advect=diffuse_advect,
+        # advect_project (kernels/pallas_step.fused_advect_project) is
+        # deliberately NOT wired: slope-measured at 2048^2/20it/cmax=1 the
+        # fused tail runs 0.98 ms vs 0.82 ms for advect_pair +
+        # fused_project — the (tm+2*margin)/tm sweep+gather redundancy at
+        # its VMEM-feasible strip heights (tm<=256; tm=512 exceeds even the
+        # 96MB scoped cap) costs more than the saved HBM round-trip.  Kept
+        # as a tested capability; see docs/PERFORMANCE.md.
+        advect_project=None,
     )

@@ -63,12 +63,24 @@ def _plane_bytes(side: int) -> int:
     return side * side * 4
 
 
+_SWEEP3_BUDGET = 34 * 2**20  # sweep windows only; the 48MB scoped cap
+#                              (_cparams) leaves stack headroom above this.
+
+
 def _jacobi3_plan(side: int, max_fused: int):
     """(tz, K): z-strip height and sweeps per HBM round-trip such that the
-    6-buffer working set fits VMEM.  Returns (None, None) if impossible."""
+    6-buffer working set fits the sweep budget, minimizing redundant sweep
+    work per output plane: cost ∝ wz / (tz * K) (every window re-sweeps
+    its full wz planes, amortized over tz output planes and K fused
+    sweeps).  Round-2 planned against the conservative 11MB gather budget,
+    which at 256³ forced 2-plane strips with 11x redundancy — the sweep
+    kernel's stack is small, so it sizes against its own budget like the
+    2-D kernels do.  Returns (None, None) if impossible."""
     pb = _plane_bytes(side)
-    budget_planes = _VMEM_BUDGET // pb
-    for tz in (16, 8, 32, 4, 2, 1):
+    budget_planes = _SWEEP3_BUDGET // pb
+    best = None
+    best_cost = None
+    for tz in (32, 16, 8, 4, 2, 1):
         if side % tz:
             continue
         # 6 windows (2x2 double-buffered in + 2 ping-pong) of wz planes
@@ -76,8 +88,11 @@ def _jacobi3_plan(side: int, max_fused: int):
         for K in range(max_fused, 0, -1):
             wz = tz + 2 * (K + 1)
             if wz <= side and 6 * wz + tz <= budget_planes:
-                return tz, K
-    return None, None
+                cost = wz / (tz * K)
+                if best is None or cost < best_cost:
+                    best, best_cost = (tz, K), cost
+                break
+    return best if best is not None else (None, None)
 
 
 def supports3(side: int) -> bool:
@@ -279,7 +294,12 @@ def _fused_jacobi3_call(b, x, x0, alpha, beta, sweeps, tz, side, zero_init,
             pltpu.SemaphoreType.DMA((2, 2)),
         ],
         interpret=_interpret(),
-        compiler_params=None if _interpret() else _cparams(),
+        # 256^3: the 34MB sweep-window budget plus the out double-buffer and
+        # Mosaic stack measured 49.3MB scoped — above the default 48MB cap
+        # (compile error, caught on hardware), well under the verified 96MB.
+        compiler_params=None if _interpret() else pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 2**20
+        ),
     )(x, x0)
 
 

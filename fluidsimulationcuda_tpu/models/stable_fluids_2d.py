@@ -35,11 +35,16 @@ __all__ = [
 def _make_project(cfg: SimConfig, ops):
     """Pressure-projection closure honoring ``cfg.pressure_solver``."""
     if cfg.pressure_solver == "multigrid":
-        from ..ops.multigrid import mg_pressure_solve
+        from ..ops.multigrid import mg_pressure_solve_fast
+
+        # Pallas opsets smooth through the fused-sweep kernel (the jnp
+        # smoother costs ~10x at 2048²); reference opsets stay pure jnp.
+        pallas_smoother = ops.advect_project is not None
 
         def _project(u, v):
             div = ops.divergence(u, v, cfg.n)
-            p = mg_pressure_solve(div, cycles=cfg.mg_cycles)
+            p = mg_pressure_solve_fast(div, cycles=cfg.mg_cycles,
+                                       pallas_smoother=pallas_smoother)
             return ops.apply_pressure_gradient(u, v, p, cfg.n)
     elif cfg.pressure_solver == "cg":
         from ..ops.cg import cg_pressure_solve
@@ -71,6 +76,10 @@ def vel_step(
     _project = _make_project(cfg, ops)
 
     u, v = _project(u, v)
+    if ops.advect_project is not None and cfg.pressure_solver == "jacobi":
+        # advect pair + second projection fused into one kernel (no HBM
+        # round-trip for the advected velocities).
+        return ops.advect_project(u, v, cfg.n, cfg.jacobi_iters, cfg.dt)
     u0, v0 = u, v
     u, v = ops.advect_pair(1, 2, u0, v0, u0, v0, cfg.dt, cfg.n)
     return _project(u, v)
@@ -127,8 +136,11 @@ def step_audited(
     _project = _make_project(cfg, ops)
     u, v = _project(u, v)
     d_vel = _disp(u, v)  # what the self-advection actually backtraces with
-    u, v = ops.advect_pair(1, 2, u, v, u, v, cfg.dt, cfg.n)
-    u, v = _project(u, v)
+    if ops.advect_project is not None and cfg.pressure_solver == "jacobi":
+        u, v = ops.advect_project(u, v, cfg.n, cfg.jacobi_iters, cfg.dt)
+    else:
+        u, v = ops.advect_pair(1, 2, u, v, u, v, cfg.dt, cfg.n)
+        u, v = _project(u, v)
     d_dens = _disp(u, v)  # what the density advection backtraces with
     dens = dens_step(cfg, state.dens, sources.dens, u, v)
     return FluidState(dens=dens, u=u, v=v), jnp.maximum(d_vel, d_dens)
