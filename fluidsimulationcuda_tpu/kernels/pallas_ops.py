@@ -791,6 +791,17 @@ def _advect_kernel(
     di = i0 - gr.astype(jnp.int32)  # in [-cmax, cmax]
     dj = j0 - gc.astype(jnp.int32)
     key = (di + cmax) * nshift + (dj + cmax)
+    # Strip-local row-shift range (round 3): two scalar reductions bound
+    # the rows the whole strip actually backtraces into; every row shift
+    # outside [a_lo, a_hi] is skipped at run time under ``pl.when`` — the
+    # masks there are provably all-false.  A smooth flow in a cmax=4
+    # window typically activates 2-3 of the 9 row shifts, cutting the
+    # (2C+1)^2 term cost toward (range_i)(2C+1) while staying bit-exact
+    # (dropped terms contributed nothing).  Worst case (strip-local
+    # displacement range spanning the full window) runs every term, plus
+    # two scalar compares per shift.
+    a_lo = jnp.min(di)
+    a_hi = jnp.max(di)
 
     # The three shifted input blocks assemble a (3*tm)-row window in wbuf;
     # local row of global row g is g - r0 + tm.  Wall strips receive
@@ -845,16 +856,25 @@ def _advect_kernel(
         if static_rows:
             for a_idx in range(nshift):
                 a = a_idx - cmax
-                row_body(a_idx, wbuf[tm + a : 2 * tm + 1 + a, :])
+
+                @pl.when(jnp.logical_and(a_lo <= a, a <= a_hi))
+                def _(a_idx=a_idx, a=a):
+                    row_body(a_idx, wbuf[tm + a : 2 * tm + 1 + a, :])
         else:
             def row_term(a_idx, carry):
-                # Want roll by -(a_idx - cmax); compiled Mosaic mis-rotates
-                # NEGATIVE dynamic sublane shifts (reads land one block off,
-                # verified on hardware with a row-index tracer field), so
-                # normalize into [0, h3) first: (-a) mod h3.
-                shift = jax.lax.rem(h3 + cmax - a_idx, h3)
-                q = pltpu.roll(wbuf[0:h3, :], shift, 0)
-                row_body(a_idx, q[tm : 2 * tm + 1, :])
+                a = a_idx - cmax
+
+                @pl.when(jnp.logical_and(a_lo <= a, a <= a_hi))
+                def _():
+                    # Want roll by -(a_idx - cmax); compiled Mosaic
+                    # mis-rotates NEGATIVE dynamic sublane shifts (reads
+                    # land one block off, verified on hardware with a
+                    # row-index tracer field), so normalize into [0, h3)
+                    # first: (-a) mod h3.
+                    shift = jax.lax.rem(h3 + cmax - a_idx, h3)
+                    q = pltpu.roll(wbuf[0:h3, :], shift, 0)
+                    row_body(a_idx, q[tm : 2 * tm + 1, :])
+
                 return carry
 
             jax.lax.fori_loop(0, nshift, row_term, 0)
@@ -1112,9 +1132,12 @@ def _dens_fused_kernel(
     t1 = y - i0.astype(dtype)
     t0 = jnp.asarray(1.0, dtype) - t1
     nshift = 2 * cmax + 1
-    key = (i0 - gr.astype(jnp.int32) + cmax) * nshift + (
-        j0 - gc.astype(jnp.int32) + cmax
-    )
+    di = i0 - gr.astype(jnp.int32)
+    key = (di + cmax) * nshift + (j0 - gc.astype(jnp.int32) + cmax)
+    # Strip-local row-shift range — same run-time term skipping as
+    # _advect_kernel (bit-exact; see the comment there).
+    a_lo = jnp.min(di)
+    a_hi = jnp.max(di)
 
     g00 = xs2.at[slot]   # dead since the guess was copied out
     g01 = rhs2.at[slot]  # dead after the final sweep
@@ -1133,22 +1156,26 @@ def _dens_fused_kernel(
 
     for a_idx in range(nshift):
         a = a_idx - cmax
-        v00, v01 = g00[0:tm, :], g01[0:tm, :]
-        v10, v11 = g10[0:tm, :], g11[:]
-        # Static (tm+1)-row slice: rows r0+a .. r0+a+tm; lane c reads c-cmax.
-        qq = pltpu.roll(wbuf[8 + a : 8 + a + tm + 1, :], cmax, 1)
-        for bbi in range(nshift):
-            m = key == (a_idx * nshift + bbi)
-            qn = pltpu.roll(qq, side - 1, 1)  # next shift (+1 lane src)
-            v00 = jnp.where(m, qq[0:tm, :], v00)
-            v01 = jnp.where(m, qn[0:tm, :], v01)
-            v10 = jnp.where(m, qq[1 : tm + 1, :], v10)
-            v11 = jnp.where(m, qn[1 : tm + 1, :], v11)
-            qq = qn
-        g00[0:tm, :] = v00
-        g01[0:tm, :] = v01
-        g10[0:tm, :] = v10
-        g11[:] = v11
+
+        @pl.when(jnp.logical_and(a_lo <= a, a <= a_hi))
+        def _(a_idx=a_idx, a=a):
+            v00, v01 = g00[0:tm, :], g01[0:tm, :]
+            v10, v11 = g10[0:tm, :], g11[:]
+            # Static (tm+1)-row slice: rows r0+a .. r0+a+tm; lane c reads
+            # c-cmax.
+            qq = pltpu.roll(wbuf[8 + a : 8 + a + tm + 1, :], cmax, 1)
+            for bbi in range(nshift):
+                m = key == (a_idx * nshift + bbi)
+                qn = pltpu.roll(qq, side - 1, 1)  # next shift (+1 lane src)
+                v00 = jnp.where(m, qq[0:tm, :], v00)
+                v01 = jnp.where(m, qn[0:tm, :], v01)
+                v10 = jnp.where(m, qq[1 : tm + 1, :], v10)
+                v11 = jnp.where(m, qn[1 : tm + 1, :], v11)
+                qq = qn
+            g00[0:tm, :] = v00
+            g01[0:tm, :] = v01
+            g10[0:tm, :] = v10
+            g11[:] = v11
 
     ob = out_ref.at[0]
     # Exact reference blend order (FluidSequential.c:136-137).

@@ -21,6 +21,8 @@ jit; n must be even down to the coarsest level used.
 """
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -144,22 +146,80 @@ def mg_pressure_solve(div: jnp.ndarray, cycles: int = 2, *, pre: int = 2,
 
 
 # ---------------------------------------------------------------------------
-# Fast path: deep padded hierarchy + Pallas fine-level smoother
+# Fast path: MXU einsum transfers + tile-aligned hierarchy + Pallas smoother
 # ---------------------------------------------------------------------------
+#
+# The stride-2 / interleave formulations of _restrict/_prolong lower to
+# lane-axis shuffles on TPU and measured 4.7 ms per fine-level roundtrip at
+# 2048² — ~75% of the whole V-cycle (round-3 profile, dev/bench_r3e.py).
+# The fast path instead applies SEPARABLE transfer matrices on both axes
+# with dot_general: dense banded (n_f × n_c) interpolation matrices ride
+# the otherwise-idle MXU (~26 GFLOP/roundtrip at 2048² ≈ 0.15-0.9 ms
+# depending on precision), and every op is a clean matmul XLA lays out
+# perfectly.  The matrices also absorb grid grading: each coarse side is
+# the fine side halved then rounded DOWN to a multiple of 8, so every
+# level is (8,128)-tile-friendly and the Pallas fused-sweep smoother
+# (side % 8 == 0) engages on all of them — e.g. 2048 → 1024 → 512 → 256 →
+# 128 sides at n=2046, with mildly-graded coarsening ratios (~2.002)
+# standard mg theory tolerates.
 
 
-def _pad1(r: jnp.ndarray) -> jnp.ndarray:
-    """Grow an odd interior by one zero cell on the far side so the level
-    can keep coarsening (2046 -> 1023 would otherwise end the hierarchy —
-    the coarsest level would be a 1023² 40-sweep solve, which is the whole
-    cost of the solve).  The fictitious cell has zero rhs and couples to
-    its real neighbors through the 5-point operator — a standard
-    padded-coarsening trick; the cycle stays a contraction (validated by
-    the residual tests)."""
-    inner = r[1:-1, 1:-1]
-    nc = inner.shape[0]
-    grown = jnp.zeros((nc + 1, nc + 1), r.dtype).at[:nc, :nc].set(inner)
-    return embed_interior(0, grown)
+def _coarse_side(side: int) -> int:
+    """Next level's padded side: halve, round down to a multiple of 8
+    (tile-aligned, Pallas-smoothable), floor at 16."""
+    half = side // 2
+    return max(16, half - half % 8)
+
+
+@functools.lru_cache(maxsize=None)
+def _transfer_1d(nf: int, nc: int):
+    """1-D cell-centered transfer pair for interior sizes ``nf -> nc``:
+    ``P`` (nf, nc) linear prolongation (each fine center interpolates its
+    two bracketing coarse centers, constant extrapolation at the walls —
+    the copy-BC-compatible choice), ``R`` (nc, nf) row-normalized ``P^T``
+    full-weighting restriction.  NumPy constants folded by XLA."""
+    import numpy as np
+
+    t = (np.arange(nf) + 0.5) * (nc / nf) - 0.5  # fine centers, coarse units
+    j0 = np.clip(np.floor(t).astype(np.int64), 0, nc - 1)
+    j1 = np.minimum(j0 + 1, nc - 1)
+    w1 = np.clip(t - j0, 0.0, 1.0)
+    P = np.zeros((nf, nc), np.float32)
+    np.add.at(P, (np.arange(nf), j0), 1.0 - w1)
+    np.add.at(P, (np.arange(nf), j1), w1)
+    R = np.ascontiguousarray(P.T)
+    R /= R.sum(axis=1, keepdims=True)
+    return P, R
+
+
+# f32 matmuls on TPU run as multi-pass bf16; HIGHEST (6 passes) keeps the
+# transfer numerics at effective-f32.  The cycle is a contraction either
+# way — precision only shifts the stall floor, measured on hardware.
+_TRANSFER_PRECISION = jax.lax.Precision.HIGHEST
+
+
+def _restrict_mat(r: jnp.ndarray, nc: int) -> jnp.ndarray:
+    """Restriction r (padded, interior nf) -> coarse rhs (padded, interior
+    nc) via the separable matrices, rhs scaled by the coarsening ratio²
+    (the (h_H/h_h)² factor that keeps the unit-spacing stencil)."""
+    rin = r[1:-1, 1:-1]
+    nf = rin.shape[0]
+    _, R = _transfer_1d(nf, nc)
+    Rm = jnp.asarray(R)
+    tmp = jnp.matmul(Rm, rin, precision=_TRANSFER_PRECISION)
+    rc = jnp.matmul(tmp, Rm.T, precision=_TRANSFER_PRECISION)
+    return embed_interior(0, ((nf / nc) ** 2) * rc)
+
+
+def _prolong_mat(e: jnp.ndarray, nf: int) -> jnp.ndarray:
+    """Bilinear prolongation of a padded coarse correction to interior
+    size ``nf`` via the separable matrices."""
+    ein = e[1:-1, 1:-1]
+    P, _ = _transfer_1d(nf, ein.shape[0])
+    Pm = jnp.asarray(P)
+    tmp = jnp.matmul(Pm, ein, precision=_TRANSFER_PRECISION)
+    ef = jnp.matmul(tmp, Pm.T, precision=_TRANSFER_PRECISION)
+    return embed_interior(0, ef)
 
 
 def _smooth_pallas(p, div, sweeps: int, *, zero_init: bool = False):
@@ -188,11 +248,11 @@ def mg_pressure_solve_fast(div: jnp.ndarray, cycles: int = 2, *,
                            pre: int = 2, post: int = 2,
                            pallas_smoother: bool = True,
                            min_n: int = 16) -> jnp.ndarray:
-    """V-cycles with a DEEP hierarchy (odd levels padded by one cell, so
-    2046 -> 1023+1 -> 512 -> ... instead of stopping at a 1023² coarsest
-    solve) and the fused Pallas kernel smoothing any level it supports.
-    Same damped-Jacobi/full-weighting/bilinear components as ``v_cycle``;
-    non-parity numerics either way (mg is an opt-in solver)."""
+    """V-cycles with the MXU einsum transfers, a tile-aligned graded
+    hierarchy (every coarse side a multiple of 8, see ``_coarse_side``) and
+    the fused Pallas kernel smoothing any level it supports.  Same
+    damped-Jacobi smoothing components as ``v_cycle``; non-parity numerics
+    either way (mg is an opt-in solver, quality judged by residual)."""
 
     def smooth(p, d, sweeps, zero_init=False):
         side = d.shape[0]
@@ -206,15 +266,12 @@ def mg_pressure_solve_fast(div: jnp.ndarray, cycles: int = 2, *,
         n = d.shape[0] - 2
         if n < min_n:
             return smooth(p, d, 40, zero_init=zero_init)
+        nc = _coarse_side(n + 2) - 2
         p = smooth(p, d, pre, zero_init=zero_init)
         r = residual(p, d)
-        if n % 2:
-            r = _pad1(r)
-        r_c = _restrict(r)
+        r_c = _restrict_mat(r, nc)
         e_c = cycle(jnp.zeros_like(r_c), r_c, zero_init=True)
-        e_f = _prolong(e_c)
-        if n % 2:
-            e_f = e_f[:-1, :-1]  # drop the fictitious fine row/col
+        e_f = _prolong_mat(e_c, n)
         p = embed_interior(0, p[1:-1, 1:-1] + e_f[1:-1, 1:-1])
         return smooth(p, d, post)
 
