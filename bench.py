@@ -1,4 +1,6 @@
-"""Benchmark harness — prints ONE JSON line with the headline metric.
+"""Benchmark harness — prints the headline JSON line (first), then a
+clearly-labeled performance-mode line (multigrid pressure solver +
+fast_math, divergence-validated against the parity solve).
 
 Headline (BASELINE.json): full-step throughput in Mcell-updates/s at 2048²
 (n = 2046, padded side 2048 — same padding convention as the reference's
@@ -23,6 +25,7 @@ import sys
 import time
 
 import jax
+import jax.numpy as jnp
 
 from fluidsimulationcuda_tpu.utils.cache import enable_compilation_cache
 
@@ -153,12 +156,72 @@ def bench_step(cfg: SimConfig, steps: int, warmup: int = 3,
     return max((t_long - t_short) / (steps - short), 1e-9)
 
 
+def audit_divergence(cfg: SimConfig, state, steps: int, drive=None) -> float:
+    """Max post-projection |divergence| of the stored velocity over
+    ``steps`` steps from ``state`` — the solver-quality metric that
+    validates the performance-mode (multigrid) headline: the perf mode is
+    honest only if its incompressibility residual is no worse than the
+    parity Jacobi-20 solve's on the same trajectory."""
+    from fluidsimulationcuda_tpu.ops.project import divergence
+
+    drive = zero_sources(cfg) if drive is None else drive
+    step_fn = make_step_fn(cfg)
+
+    @jax.jit
+    def div_inf(s):
+        return jnp.max(jnp.abs(divergence(s.u, s.v, cfg.n)))
+
+    worst = 0.0
+    for _ in range(steps):
+        state = step_fn(state, drive)
+        worst = max(worst, float(div_inf(state)))
+    return worst
+
+
+def perf_mode_line(cfg: SimConfig, steps: int, headline_mcells: float) -> dict:
+    """Measure the performance-mode step (multigrid pressure solver +
+    fast_math — the reference's own named future work,
+    ``document/main.tex:356``) at the headline grid, validated by
+    post-projection max|divergence| <= the parity Jacobi-20 solve's on the
+    same trajectory.  Returns the JSON record for the second bench line."""
+    # One V-cycle with bf16x3 MXU transfers is the measured quality/cost
+    # sweet spot (dev/bench_r3h.py): divergence 2x better than Jacobi-20,
+    # 0.93 ms vs the 0.73 ms fused parity projection.
+    mg_cfg = dataclasses.replace(cfg, pressure_solver="multigrid",
+                                 mg_cycles=1, fast_math=True)
+    state, _ = inject_exact(cfg)
+    val_steps = min(20, steps)
+    div_jac = audit_divergence(cfg, state, val_steps)
+    div_mg = audit_divergence(mg_cfg, state, val_steps)
+    sec = bench_step(mg_cfg, steps=steps)
+    mcells = mg_cfg.num_cells / sec / 1e6
+    disp = bench_step.last_max_displacement
+    print(f"perf mode (multigrid + fast_math): {sec * 1e3:.3f} ms/step, "
+          f"max|div| {div_mg:.2e} vs jacobi-20 {div_jac:.2e} over "
+          f"{val_steps} steps, displacement {disp:.3f} cells",
+          file=sys.stderr)
+    return {
+        "metric": f"perf-mode throughput @ {cfg.n + 2}^2 (multigrid pressure"
+                  f" + fast_math), vs jacobi-20 parity mode",
+        "value": round(mcells, 1),
+        "unit": "Mcell-updates/s",
+        "vs_baseline": round(mcells / BASELINE_MCELLS_PER_S, 2),
+        "vs_parity_headline": round(mcells / headline_mcells, 2),
+        "max_abs_divergence": float(f"{div_mg:.3e}"),
+        "jacobi20_max_abs_divergence": float(f"{div_jac:.3e}"),
+        "divergence_ok": bool(div_mg <= div_jac),
+        "max_displacement_cells": round(disp, 3),
+    }
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=2046)
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--steps", type=int, default=100)
     ap.add_argument("--backend", default="auto")
+    ap.add_argument("--no-perf-mode", action="store_true",
+                    help="skip the second (multigrid perf-mode) JSON line")
     ap.add_argument("--cmax", default="auto",
                     help="pallas advection gather window (int, or 'auto' to "
                          "pick the smallest window the audited trajectory "
@@ -223,6 +286,11 @@ def main() -> None:
         "advect_exact_regime": bool(exact),
         "injection_transient_cells": round(bench_step.last_transient, 2),
     }))
+    if not (args.no_perf_mode or args.forcing or args.backend == "reference"):
+        # Second, clearly-labeled line: the non-parity performance mode
+        # (opt-in solver the reference names as future work), validated by
+        # divergence residual on the same trajectory.
+        print(json.dumps(perf_mode_line(cfg, args.steps, mcells)))
 
 
 if __name__ == "__main__":

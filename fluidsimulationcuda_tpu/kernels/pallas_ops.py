@@ -1157,8 +1157,7 @@ def _dens_fused_kernel(
     for a_idx in range(nshift):
         a = a_idx - cmax
 
-        @pl.when(jnp.logical_and(a_lo <= a, a <= a_hi))
-        def _(a_idx=a_idx, a=a):
+        def _term(a_idx=a_idx, a=a):
             v00, v01 = g00[0:tm, :], g01[0:tm, :]
             v10, v11 = g10[0:tm, :], g11[:]
             # Static (tm+1)-row slice: rows r0+a .. r0+a+tm; lane c reads
@@ -1176,6 +1175,15 @@ def _dens_fused_kernel(
             g01[0:tm, :] = v01
             g10[0:tm, :] = v10
             g11[:] = v11
+
+        if cmax >= 2:
+            # Run-time term skipping pays only for wide windows; at
+            # cmax=1 (3 row terms) the scalar range compares + pl.when
+            # scheduling measured a 0.1 ms regression on the 2048² fused
+            # dens kernel (0.72 -> 0.82 ms, dev/bench_r3g.py round 3).
+            pl.when(jnp.logical_and(a_lo <= a, a <= a_hi))(_term)
+        else:
+            _term()
 
     ob = out_ref.at[0]
     # Exact reference blend order (FluidSequential.c:136-137).

@@ -192,10 +192,17 @@ def _transfer_1d(nf: int, nc: int):
     return P, R
 
 
-# f32 matmuls on TPU run as multi-pass bf16; HIGHEST (6 passes) keeps the
-# transfer numerics at effective-f32.  The cycle is a contraction either
-# way — precision only shifts the stall floor, measured on hardware.
-_TRANSFER_PRECISION = jax.lax.Precision.HIGHEST
+# f32 matmuls on TPU run as bf16 MXU passes.  Measured at 2048² (round 3,
+# dev/bench_r3h.py): HIGHEST (6-pass, effective f32) costs 0.78 ms of a
+# 1.61 ms V-cycle; DEFAULT (one bf16 pass) makes the cycle 0.67 ms but
+# floors the achievable post-projection divergence at ~4e-4 one-shot /
+# ~5e-6 on the bench trajectory — WORSE than the parity Jacobi-20 solve
+# (9.3e-5 / 1.9e-6), because bf16 rounding of the prolongated correction
+# injects broadband error the post-smooth only partially damps.  HIGH
+# (bf16x3, ~f32 accuracy) is the validated sweet spot: 0.93 ms/cycle,
+# one-shot divergence 4.7e-5 — 2× better than Jacobi-20.  bench.py's
+# perf-mode line re-validates this on every run (divergence_ok).
+_TRANSFER_PRECISION = jax.lax.Precision.HIGH
 
 
 def _restrict_mat(r: jnp.ndarray, nc: int) -> jnp.ndarray:

@@ -44,14 +44,27 @@ def _run(step_fn, state, sources, zeros, steps):
 @pytest.mark.parametrize("solver", ["cg", "multigrid"])
 @pytest.mark.parametrize("mesh_shape", [(2, 2), (4, 1)])
 def test_sharded_solver_matches_single_device(solver, mesh_shape):
-    """Sharded mg/cg vs the unsharded step with the same solver.  Not
-    bit-exact: the psum dot products (CG) and 2x2 restriction sums (MG)
-    reassociate float reductions."""
+    """Sharded mg/cg on a multi-device mesh vs the SAME sharded algorithm
+    on a 1x1 mesh — sharding must not change the result.  (The unsharded
+    step's multigrid is a different algorithm since round 3 — graded
+    MXU-transfer hierarchy vs the distributed classic-halving V-cycle —
+    so elementwise equality across the two is not an invariant; solver
+    quality is pinned separately by the divergence checks below and in
+    test_multigrid.py.)  Not bit-exact even same-algorithm: psum dot
+    products (CG) and 2x2 restriction sums (MG) reassociate reductions."""
     cfg = SimConfig(n=30, jacobi_iters=8, backend="reference",
                     pressure_solver=solver, mg_cycles=2, cg_iters=12)
     state, sources = reference_init(jax.random.key(3), cfg)
     zeros = zero_sources(cfg)
-    want = _run(make_step_fn(cfg), state, sources, zeros, 2)
+    if solver == "cg":
+        # Same algorithm sharded and unsharded — the stronger cross-check.
+        want = _run(make_step_fn(cfg), state, sources, zeros, 2)
+    else:
+        mesh1 = make_mesh(jax.devices()[:1], (1, 1))
+        step1 = make_sharded_step_fn(cfg, mesh1)
+        want = _run(step1, shard_state(state, mesh1),
+                    shard_state(sources, mesh1), shard_state(zeros, mesh1),
+                    2)
 
     mesh = make_mesh(jax.devices()[: mesh_shape[0] * mesh_shape[1]],
                      mesh_shape)
@@ -140,7 +153,22 @@ def test_sharded_pallas_path_with_solver(solver):
         state, sources = reference_init(jax.random.key(11), cfg)
         got = step(shard_state(state, mesh), shard_state(sources, mesh))
 
-        want = _run(make_step_fn(cfg), state, sources, zero_sources(cfg), 1)
+        if solver == "cg":
+            # Same algorithm sharded and unsharded — the stronger check.
+            want = _run(make_step_fn(cfg), state, sources,
+                        zero_sources(cfg), 1)
+        else:
+            # Same sharded algorithm on a 1x1 mesh (halo exchange =
+            # self-copy): sharding must not change the result.  The
+            # unsharded step's mg is a different algorithm since r3
+            # (graded MXU-transfer hierarchy), so cross-algorithm
+            # equality is not an invariant for multigrid.
+            mesh1 = make_mesh(jax.devices()[:1], (1, 1))
+            step1 = make_sharded_step_fn(cfg, mesh1,
+                                         shard_backend="pallas",
+                                         advect_mode="windowed")
+            want = step1(shard_state(state, mesh1),
+                         shard_state(sources, mesh1))
         for name in ("dens", "u", "v"):
             np.testing.assert_allclose(
                 np.asarray(getattr(got, name)),
