@@ -241,8 +241,9 @@ def main() -> None:
     cmax0 = 2 if auto_cmax else int(args.cmax)
 
     if args.sweep:
-        # Reference scaling study: 2^10 .. 2^24 cells (Slide10/Slide11).
-        for side_pow in range(5, 13):
+        # Reference scaling study: 2^10 .. 2^26 cells (Slide10/Slide11 +
+        # the reference's own 8192^2 headline size).
+        for side_pow in range(5, 14):
             side = 2 ** side_pow
             cfg = SimConfig(n=side - 2, jacobi_iters=args.iters,
                             backend=args.backend, max_courant=cmax0)
