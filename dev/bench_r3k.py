@@ -24,14 +24,19 @@ def sync(x):
     _ = float(x.ravel()[0])
 
 
-def marginal(label, k1=20, k2=40, reps=3):
+def marginal(label, k1=20, k2=40, reps=3, length=12):
+    """(T[iters=k2] - T[iters=k1]) per sweep, each T amplified by a
+    ``length``-long scan of whole kernel calls (relay noise >> one call)."""
     side = 2048
     a = jax.random.normal(jax.random.key(0), (side, side), jnp.float32)
 
     def make(iters):
         @jax.jit
         def f(x):
-            return po.fused_jacobi(1, x, x, 1.0, 4.0, iters)
+            def body(c, _):
+                return po.fused_jacobi(1, c, c, 1.0, 4.0, iters), None
+            out, _ = jax.lax.scan(body, x, None, length=length)
+            return out
         return f
 
     f1, f2 = make(k1), make(k2)
@@ -47,7 +52,7 @@ def marginal(label, k1=20, k2=40, reps=3):
 
     tmin(f1)
     tmin(f2)
-    dt = (tmin(f2) - tmin(f1)) / (k2 - k1) * 1e6
+    dt = (tmin(f2) - tmin(f1)) / (k2 - k1) / length * 1e6
     print(f"{label:46s} {dt:8.2f} us/sweep", flush=True)
     return dt
 

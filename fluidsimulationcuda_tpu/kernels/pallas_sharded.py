@@ -354,6 +354,14 @@ def _advect_slab_kernel(
     di = i0 - gri
     dj = j0 - gci
     key = (di + cmax) * nshift + (dj + cmax)
+    # Strip-local row-shift range (round 3): skip row terms no cell in
+    # this strip backtraces into — bit-exact, same gating as
+    # pallas_ops._advect_kernel (the masks of skipped terms are provably
+    # all-false).  Keeps the sharded slab path at parity with the
+    # unsharded kernels' wide-window cost (measured 2x the whole sharded
+    # step at cmax=4 otherwise, dev/validate_sharded_tpu.py round 3).
+    a_lo = jnp.min(di)
+    a_hi = jnp.max(di)
 
     h3 = 3 * tm
     for f in range(nf):
@@ -388,14 +396,23 @@ def _advect_slab_kernel(
         if static_rows:
             for a_idx in range(nshift):
                 a = a_idx - cmax
-                row_body(a_idx, wbuf[tm + a : 2 * tm + 1 + a, :])
+
+                @pl.when(jnp.logical_and(a_lo <= a, a <= a_hi))
+                def _(a_idx=a_idx, a=a):
+                    row_body(a_idx, wbuf[tm + a : 2 * tm + 1 + a, :])
         else:
             def row_term(a_idx, carry):
-                # (-a) mod h3: compiled Mosaic mis-rotates negative dynamic
-                # sublane shifts (see pallas_ops._advect_kernel).
-                shift = jax.lax.rem(h3 + cmax - a_idx, h3)
-                q = pltpu.roll(wbuf[0:h3, :], shift, 0)
-                row_body(a_idx, q[tm : 2 * tm + 1, :])
+                a = a_idx - cmax
+
+                @pl.when(jnp.logical_and(a_lo <= a, a <= a_hi))
+                def _():
+                    # (-a) mod h3: compiled Mosaic mis-rotates negative
+                    # dynamic sublane shifts (see
+                    # pallas_ops._advect_kernel).
+                    shift = jax.lax.rem(h3 + cmax - a_idx, h3)
+                    q = pltpu.roll(wbuf[0:h3, :], shift, 0)
+                    row_body(a_idx, q[tm : 2 * tm + 1, :])
+
                 return carry
 
             jax.lax.fori_loop(0, nshift, row_term, 0)
