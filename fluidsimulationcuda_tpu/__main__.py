@@ -101,12 +101,20 @@ def cmd_run(args) -> None:
     dmax = max((float(d) for d in disps), default=0.0)
     verdict = ("exact" if dmax < cfg.max_courant
                else "CLAMPED — rerun with a higher --cmax")
+    # The stability check the reference stubbed out and never wrote
+    # (FluidSequential.c:309) — finite fields + window fit of the FINAL
+    # state (the per-step audit above covers the trajectory).
+    from .utils.stability import check_stability
+
+    rep = check_stability(cfg, state)
+    stable = ("stable" if bool(rep.finite) else "UNSTABLE (non-finite!)")
     print(
         f"{args.steps} steps in {dt_total:.3f}s "
         f"({dt_total / args.steps * 1e3:.2f} ms/step incl. dispatch); "
         f"dens sum={dens.sum():.4f} max={dens.max():.5f}; "
         f"audited displacement {dmax:.3f} cells "
-        f"({verdict} for window {cfg.max_courant})",
+        f"({verdict} for window {cfg.max_courant}); {stable}, "
+        f"max speed {float(rep.max_speed):.4f}",
         file=sys.stderr,
     )
     if args.save:
