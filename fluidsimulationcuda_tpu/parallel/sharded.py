@@ -744,9 +744,12 @@ def make_sharded_step_fn(
 
     ``shard_backend``: which compute path runs *inside* each shard —
     "reference" = jnp local ops; "pallas" = the slab kernels
-    (``kernels.pallas_sharded``; requires a 1-D row mesh (px, 1), f32, and
-    always-windowed advection); "auto" = pallas when ``cfg.backend`` asks
-    for it and the mesh/shape qualify, jnp otherwise.
+    (``kernels.pallas_sharded``; f32, always-windowed advection, row
+    slabs).  2-D meshes qualify for pallas too: the devices are re-meshed
+    (px·py, 1) and the grid row-flattened onto them (see the comment in
+    the body — column halos are TPU-hostile, flattening is strictly
+    better).  "auto" = pallas when ``cfg.backend`` asks for it and the
+    shape qualifies, jnp otherwise.
 
     ``audited=True`` returns ``(state, max_displacement)`` per step — the
     multi-chip twin of ``models.stable_fluids_2d.step_audited`` (local max
@@ -763,6 +766,27 @@ def make_sharded_step_fn(
         raise ValueError(f"unknown shard_backend {shard_backend!r}")
     px, py = mesh.shape["x"], mesh.shape["y"]
     side = cfg.n + 2
+
+    # 2-D meshes take the slab path by FLATTENING: a (px, py) device mesh
+    # does not force a 2-D data decomposition — the same devices re-meshed
+    # (px*py, 1) run the row-slab kernels verbatim (halo ppermute over the
+    # flattened axis), which column-splitting could never match on TPU:
+    # lane-axis halo margins round up to the 128-lane tile, so a 4-way
+    # column split pays +50% VMEM and sweep work where a row split pays
+    # +9% (docs/PERFORMANCE.md; kernels/pallas_sharded.py module note).
+    # Callers' (px, py)-block-sharded inputs are resharded by jit once;
+    # outputs stay row-sharded thereafter.
+    if (
+        py > 1
+        and (shard_backend == "pallas"
+             or (shard_backend == "auto" and cfg.backend == "pallas"))
+        and advect_mode in ("auto", "windowed")
+        and side % (px * py) == 0
+        and side // (px * py) >= cfg.max_courant + 1
+        and _pallas_shard_viable(cfg, px * py, 1)
+    ):
+        px, py = px * py, 1
+        mesh = Mesh(mesh.devices.reshape(px, 1), ("x", "y"))
     if side % px or side % py:
         raise ValueError(
             f"grid side {side} not divisible by mesh shape ({px}, {py})"
@@ -790,10 +814,11 @@ def make_sharded_step_fn(
     if shard_backend == "pallas":
         if not _pallas_shard_viable(cfg, px, py):
             raise ValueError(
-                f"shard_backend='pallas' needs a 1-D row mesh (px, 1), "
-                f"(n+2) % px == 0, shards of >= max_courant+1 rows with "
-                f"(n+2)/px % 8 == 0, float32 and ndim=2; got mesh "
-                f"({px}, {py}), n={cfg.n}"
+                f"shard_backend='pallas' needs row slabs (2-D meshes are "
+                f"row-flattened automatically when they qualify): "
+                f"(n+2) % n_devices == 0, shards of >= max_courant+1 rows "
+                f"with (n+2)/n_devices % 8 == 0, float32 and ndim=2; got "
+                f"mesh ({px}, {py}), n={cfg.n}"
             )
         if advect_mode == "exact":
             raise ValueError(
@@ -846,6 +871,7 @@ def make_sharded_step_fn(
 
     step_fn.shard_backend = "pallas" if use_pallas else "reference"
     step_fn.advect_mode = advect_mode
+    step_fn.mesh = mesh  # the mesh actually used (flattened for 2-D pallas)
     return step_fn
 
 

@@ -104,10 +104,46 @@ def test_sharded_pallas_fast_math_runs():
     assert np.isfinite(np.asarray(out_p.dens)).all()
 
 
-def test_sharded_pallas_rejects_2d_mesh():
-    mesh = make_mesh(jax.devices()[:4], shape=(2, 2))
-    cfg = SimConfig(n=30, jacobi_iters=4, backend="pallas")
-    with pytest.raises(ValueError, match="1-D row mesh"):
+def test_sharded_pallas_2d_mesh_flattens():
+    """A (2, 2) device mesh takes the slab path by row-flattening: same
+    devices re-meshed (4, 1), bit-identical to the explicit row mesh and
+    matching the sharded-jnp step on the original 2-D mesh."""
+    cfg = SimConfig(n=62, jacobi_iters=4, backend="pallas", max_courant=2)
+    state, sources = reference_init(jax.random.key(0), cfg)
+
+    mesh2d = make_mesh(jax.devices()[:4], shape=(2, 2))
+    f2d = make_sharded_step_fn(cfg, mesh2d, advect_mode="windowed",
+                               shard_backend="pallas")
+    assert f2d.shard_backend == "pallas"
+    assert (f2d.mesh.shape["x"], f2d.mesh.shape["y"]) == (4, 1)
+    out2d = f2d(shard_state(state, mesh2d), shard_state(sources, mesh2d))
+
+    mesh_row = make_mesh(jax.devices()[:4], shape=(4, 1))
+    frow = make_sharded_step_fn(cfg, mesh_row, advect_mode="windowed",
+                                shard_backend="pallas")
+    want = frow(shard_state(state, mesh_row),
+                shard_state(sources, mesh_row))
+    for name in ("dens", "u", "v"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(out2d, name)),
+            np.asarray(getattr(want, name)), err_msg=name)
+
+    fj = make_sharded_step_fn(cfg.replace(backend="reference"), mesh2d,
+                              advect_mode="windowed",
+                              shard_backend="reference")
+    ref = fj(shard_state(state, mesh2d), shard_state(sources, mesh2d))
+    for name in ("dens", "u", "v"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(out2d, name)),
+            np.asarray(getattr(ref, name)),
+            rtol=1e-5, atol=1e-5, err_msg=name)
+
+
+def test_sharded_pallas_rejects_unflattenable_mesh():
+    # side 36 over 8 devices: 36 % 8 != 0 — flattening cannot apply.
+    mesh = make_mesh(jax.devices()[:8], shape=(2, 4))
+    cfg = SimConfig(n=34, jacobi_iters=4, backend="pallas")
+    with pytest.raises(ValueError, match="row slabs"):
         make_sharded_step_fn(cfg, mesh, advect_mode="windowed",
                              shard_backend="pallas")
 
