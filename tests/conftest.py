@@ -22,6 +22,14 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 8)
 
+# The suite is XLA-compile-bound (interpret-mode Pallas + 8-way shard_map
+# programs), so cache compilations on disk: a warm rerun of the quick tier
+# drops from minutes to seconds.  Keyed on backend + jaxlib version, so a
+# toolchain bump invalidates cleanly; delete the dir to force cold builds.
+jax.config.update("jax_compilation_cache_dir", "/tmp/fsc_tpu_jax_test_cache")
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
