@@ -44,6 +44,12 @@ from .pallas_ops import (
 __all__ = [
     "slab_supported",
     "fused_jacobi_slab",
+    "fused_project_slab",
+    "project_slab_supported",
+    "project_slab_margin",
+    "fused_dens_slab",
+    "dens_slab_supported",
+    "dens_slab_margin",
     "advect_slab",
     "advect_slab_tm",
     "divergence_slab",
@@ -68,13 +74,50 @@ def slab_supported(m: int, side: int) -> bool:
 
 def _slab_tm(m: int, side: int, K: int) -> int | None:
     """Jacobi strip height: must divide the slab and keep the working set
-    (6 double-buffered (tm+2K)-row windows + out blocks) within budget."""
-    for cand in (128, 256, 512, 64, 32, 16, 8):
-        if m % cand == 0 and (6 * (cand + 2 * K) + 2 * cand) * side * 4 <= _VMEM_BUDGET:
+    (6 double-buffered (tm+2K)-row windows + out blocks) within the sweep
+    budget.  Tallest viable strip first — the sweeps+1 margin is a fixed
+    cost per strip, so taller strips amortize it (the round-2 512-row
+    retune, docs/PERFORMANCE.md finding 7), under the raised per-kernel
+    scoped-vmem cap like the unsharded sweep kernels."""
+    for cand in (512, 256, 128, 64, 32, 16, 8):
+        if (
+            m % cand == 0
+            and (6 * (cand + 2 * K) + 2 * cand) * side * 4
+            <= pallas_ops._SWEEP_BUDGET
+        ):
             return cand
-    if (6 * (m + 2 * K) + 2 * m) * side * 4 <= _VMEM_BUDGET or _interpret():
+    budget_ok = (6 * (m + 2 * K) + 2 * m) * side * 4 <= pallas_ops._SWEEP_BUDGET
+    if budget_ok or _interpret():
         return m  # whole slab in one strip
     return None
+
+
+def _slab_window_bc(dst, sx, sy, start, wr: int, side: int, is_top, is_bot,
+                    gtop, gbot):
+    """``set_bnd`` (edges only) on a (wr, side) window of the extended slab
+    whose row 0 is ext row ``start``.  Ghost columns: every shard owns them
+    (full-width slabs).  Wall ghost rows are dynamically predicated (one
+    SPMD program); the 8-row block read-modify-write keeps dynamic sublane
+    offsets 8-aligned (gtop-start is a multiple of 8; gbot-start is
+    == 7 mod 8 so the block starts 7 rows above it)."""
+    dst[:, 0:1] = sx * dst[:, 1:2]
+    dst[:, side - 1 : side] = sx * dst[:, side - 2 : side - 1]
+
+    @pl.when(is_top & (start <= gtop) & (gtop < start + wr))
+    def _():
+        kw = pl.multiple_of(gtop - start, 8)
+        blk = dst[pl.ds(kw, 8), :]
+        dst[pl.ds(kw, 8), :] = jnp.concatenate(
+            [sy * blk[1:2, :], blk[1:8, :]], axis=0
+        )
+
+    @pl.when(is_bot & (start <= gbot) & (gbot < start + wr))
+    def _():
+        a0 = pl.multiple_of(gbot - 7 - start, 8)
+        blk = dst[pl.ds(a0, 8), :]
+        dst[pl.ds(a0, 8), :] = jnp.concatenate(
+            [blk[0:7, :], sy * blk[6:7, :]], axis=0
+        )
 
 
 # ---------------------------------------------------------------------------
@@ -151,29 +194,8 @@ def _jacobi_slab_kernel(
     gbot = K + m - 1  # ext row of the global bottom ghost row
 
     def bc(dst):
-        # Ghost columns: every shard owns them (full-width slabs).
-        dst[:, 0:1] = sx * dst[:, 1:2]
-        dst[:, side - 1 : side] = sx * dst[:, side - 2 : side - 1]
-
-        # Wall ghost rows, dynamically predicated (one SPMD program).  The
-        # 8-row block read-modify-write keeps dynamic sublane offsets
-        # 8-aligned (gtop-start is a multiple of 8; gbot-start is == 7 mod 8
-        # so the block starts 7 rows above it).
-        @pl.when(is_top & (start <= gtop) & (gtop < start + wr))
-        def _():
-            kw = pl.multiple_of(gtop - start, 8)
-            blk = dst[pl.ds(kw, 8), :]
-            dst[pl.ds(kw, 8), :] = jnp.concatenate(
-                [sy * blk[1:2, :], blk[1:8, :]], axis=0
-            )
-
-        @pl.when(is_bot & (start <= gbot) & (gbot < start + wr))
-        def _():
-            a0 = pl.multiple_of(gbot - 7 - start, 8)
-            blk = dst[pl.ds(a0, 8), :]
-            dst[pl.ds(a0, 8), :] = jnp.concatenate(
-                [blk[0:7, :], sy * blk[6:7, :]], axis=0
-            )
+        _slab_window_bc(dst, sx, sy, start, wr, side, is_top, is_bot,
+                        gtop, gbot)
 
     def sweep(src, dst):
         s = src[:]
@@ -279,8 +301,518 @@ def fused_jacobi_slab(
             pltpu.SemaphoreType.DMA((2, 2)),
         ],
         interpret=_interpret(),
-        compiler_params=None if _interpret() else _cparams(),
+        # Tall (512-row) strips need the raised per-kernel scoped-vmem cap,
+        # same as the unsharded sweep kernels (96MB scratch verified).
+        compiler_params=None if _interpret() else pltpu.CompilerParams(
+            vmem_limit_bytes=pallas_ops._SWEEP_KERNEL_CAP
+        ),
     )(flags, x_ext, rhs_ext)
+
+
+# ---------------------------------------------------------------------------
+# Fused projection on a halo-extended slab (div + sweeps + gradient)
+# ---------------------------------------------------------------------------
+
+
+def project_slab_margin(iters: int) -> int:
+    """Halo/margin depth for the fused projection: the in-window divergence
+    has garbage on the 2 window edge rows, each sweep propagates it 1 row,
+    and the gradient reads 1 more (same accounting as the unsharded
+    ``pallas_ops._project_kernel`` margin)."""
+    return _ceil8(iters + 3)
+
+
+def _proj_slab_tm(m: int, side: int, K: int) -> int | None:
+    """Strip height for the fused projection slab kernel: 7 (wr, side)
+    window buffers (2x2 double-buffered u/v inputs + rhs + p ping-pong)
+    + pipelined out blocks, with the profitability guard of
+    ``pallas_ops.fused_project_supported`` (wr <= 1.5*tm, or the margin
+    redundancy out-costs the saved HBM round-trips)."""
+    # 7 wr-row window buffers, same accounting as the unsharded
+    # _fused_project_call (tm=512 verified under the 64MB cap at 2048²).
+    for cand in (512, 256, 128, 64, 32, 16, 8):
+        wr = cand + 2 * K
+        if (
+            m % cand == 0
+            and wr <= 3 * cand // 2
+            and 7 * wr * side * 4 <= pallas_ops._SWEEP_BUDGET
+        ):
+            return cand
+    if _interpret():
+        return m  # whole slab in one strip (profitability is perf-only)
+    return None
+
+
+def project_slab_supported(m: int, side: int, iters: int) -> bool:
+    K = project_slab_margin(iters)
+    # K <= m: the halo exchange sources K rows from the ADJACENT shard
+    # (x[-K:] / x[:K]); deeper-than-slab halos would need multi-hop
+    # exchange, which the margin scheme deliberately avoids.
+    return K <= m and _proj_slab_tm(m, side, K) is not None
+
+
+def _project_slab_kernel(
+    flags_ref, u_hbm, v_hbm, uout, vout, ubuf2, vbuf2, rhs_buf, p_a, p_b,
+    sems,
+    *, n: int, iters: int, tm: int, wr: int, side: int, K: int, m: int,
+    nstrips: int,
+):
+    """Whole projection (``FluidSequential.c:213-226``) in one kernel per
+    strip of the K-extended slab — the SPMD port of
+    ``pallas_ops._project_kernel``: divergence computed in-window from the
+    u/v windows, ``iters`` pressure sweeps in VMEM, gradient subtraction as
+    the epilogue.  Replaces three slab kernels (divergence, Jacobi,
+    gradient) AND their three separate halo exchanges with ONE K-deep
+    u/v exchange: p never leaves VMEM, div never touches HBM.
+
+    Geometry is uniform like ``_jacobi_slab_kernel`` (halo == margin):
+    window = ext rows [gi*tm, gi*tm + wr), wr = tm + 2K, output rows at
+    static window offset K.  Validity: ext-edge garbage propagates 1
+    row/sweep from the 2 window edge rows; K >= iters+3 covers
+    divergence + iters sweeps + gradient.
+    """
+    gi = pl.program_id(0)
+    slot = jax.lax.rem(gi, 2)
+
+    def dmas(gi_, slot_):
+        start_ = pl.multiple_of(gi_ * tm, 8)
+        return [
+            pltpu.make_async_copy(
+                u_hbm.at[pl.ds(start_, wr), :], ubuf2.at[slot_],
+                sems.at[slot_, 0],
+            ),
+            pltpu.make_async_copy(
+                v_hbm.at[pl.ds(start_, wr), :], vbuf2.at[slot_],
+                sems.at[slot_, 1],
+            ),
+        ]
+
+    @pl.when(gi == 0)
+    def _():
+        for cp in dmas(gi, slot):
+            cp.start()
+
+    @pl.when(gi + 1 < nstrips)
+    def _():
+        for cp in dmas(gi + 1, jax.lax.rem(gi + 1, 2)):
+            cp.start()
+
+    for cp in dmas(gi, slot):
+        cp.wait()
+
+    is_top = flags_ref[0] == 1
+    is_bot = flags_ref[1] == 1
+    start = gi * tm
+    gtop = K
+    gbot = K + m - 1
+    dt = rhs_buf.dtype
+    one = jnp.asarray(1.0, dt)
+    h = one / n
+    half = jnp.asarray(0.5, dt)
+    ubuf = ubuf2.at[slot]
+    vbuf = vbuf2.at[slot]
+
+    # Divergence on the whole window via static rolls (wrap garbage on the
+    # 2 window edge rows only — covered by the margin).
+    uu = ubuf[:]
+    vv = vbuf[:]
+    du = pltpu.roll(uu, side - 1, 1) - pltpu.roll(uu, 1, 1)
+    dv = pltpu.roll(vv, wr - 1, 0) - pltpu.roll(vv, 1, 0)
+    rhs_buf[:] = (jnp.asarray(-0.5, dt) * h) * (du + dv)
+    _slab_window_bc(rhs_buf, one, one, start, wr, side, is_top, is_bot,
+                    gtop, gbot)
+
+    # Pressure Poisson: alpha=1, beta=4, zero initial guess.
+    p_a[:] = jnp.zeros((wr, side), dt)
+    quarter = jnp.asarray(0.25, dt)
+
+    def sweep(src, dst):
+        sp = src[:]
+        neigh = (
+            (pltpu.roll(sp, 1, 1) + pltpu.roll(sp, side - 1, 1))
+            + pltpu.roll(sp, 1, 0)
+        ) + pltpu.roll(sp, wr - 1, 0)
+        dst[:] = (rhs_buf[:] + neigh) * quarter
+        _slab_window_bc(dst, one, one, start, wr, side, is_top, is_bot,
+                        gtop, gbot)
+
+    def double_sweep(_, carry):
+        sweep(p_a, p_b)
+        sweep(p_b, p_a)
+        return carry
+
+    jax.lax.fori_loop(0, iters // 2, double_sweep, 0)
+    if iters % 2:
+        sweep(p_a, p_b)
+        p_a[:] = p_b[:]
+
+    # Gradient subtraction (lastProject, FluidSequential.c:161-173) on the
+    # output strip at static window offset K.
+    p_c = p_a[K : K + tm, :]
+    p_b[:] = pltpu.roll(p_a[:], 1, 0)       # p_b[r] = p[r-1] (up neighbor)
+    p_up = p_b[K : K + tm, :]
+    p_b[:] = pltpu.roll(p_a[:], wr - 1, 0)  # p_b[r] = p[r+1] (down neighbor)
+    p_dn = p_b[K : K + tm, :]
+    dp = pltpu.roll(p_c, side - 1, 1) - pltpu.roll(p_c, 1, 1)
+    u_c = ubuf[K : K + tm, :]
+    v_c = vbuf[K : K + tm, :]
+    uout[:] = u_c - (half * dp) / h
+    vout[:] = v_c - (half * (p_dn - p_up)) / h
+    _apply_bnd_slab_block(uout, 1, gi, tm, side, nstrips, is_top, is_bot)
+    _apply_bnd_slab_block(vout, 2, gi, tm, side, nstrips, is_top, is_bot)
+
+
+@functools.partial(jax.jit, static_argnames=("n", "iters", "m", "K"))
+def fused_project_slab(u_ext, v_ext, flags, *, n: int, iters: int, m: int,
+                       K: int):
+    """Projection (div + ``iters``-sweep pressure solve + gradient) on
+    (m+2K, side) halo-extended slabs in one kernel; returns (u, v) slabs.
+    Requires ``K == project_slab_margin(iters)``."""
+    me, side = u_ext.shape
+    assert me == m + 2 * K, (me, m, K)
+    assert K >= iters + 3 or _interpret()
+    tm = _proj_slab_tm(m, side, K)
+    assert tm is not None, f"no viable projection strip for m={m}, side={side}"
+    wr = tm + 2 * K
+    nstrips = m // tm
+    kernel = functools.partial(
+        _project_slab_kernel, n=n, iters=iters, tm=tm, wr=wr, side=side,
+        K=K, m=m, nstrips=nstrips,
+    )
+    blk = pl.BlockSpec((tm, side), lambda gi: (gi, 0),
+                       memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=(nstrips,),
+        out_shape=(
+            jax.ShapeDtypeStruct((m, side), u_ext.dtype),
+            jax.ShapeDtypeStruct((m, side), u_ext.dtype),
+        ),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=(blk, blk),
+        scratch_shapes=[
+            pltpu.VMEM((2, wr, side), u_ext.dtype),
+            pltpu.VMEM((2, wr, side), u_ext.dtype),
+            pltpu.VMEM((wr, side), jnp.float32),
+            pltpu.VMEM((wr, side), jnp.float32),
+            pltpu.VMEM((wr, side), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ],
+        interpret=_interpret(),
+        compiler_params=None if _interpret() else pltpu.CompilerParams(
+            vmem_limit_bytes=pallas_ops._SWEEP_KERNEL_CAP
+        ),
+    )(flags, u_ext, v_ext)
+
+
+# ---------------------------------------------------------------------------
+# Fused density pair on a halo-extended slab (src + diffuse + advect)
+# ---------------------------------------------------------------------------
+
+
+def dens_slab_margin(iters: int, cmax: int) -> int:
+    """Halo/margin depth for the fused dens kernel: the gather reads the
+    diffused field ``cmax`` rows beyond the output strip, so those rows
+    must be converged too (same accounting as ``pallas_ops._dens_tm``)."""
+    return _ceil8(iters + 1 + cmax)
+
+
+def _dens_slab_tm(m: int, side: int, K: int) -> int | None:
+    """Strip height for the fused dens slab kernel (6 sweep windows + 4
+    gather accumulators + staging + u/v/out strips), with the
+    margin-amortization guard ``tm >= 2*K`` of
+    ``pallas_ops.fused_dens_supported``."""
+    # Coefficients are EMPIRICAL: the unsharded _dens_tm formula
+    # (6*wr + 8*tm + 16 rows) undercounts this kernel's compiled footprint
+    # ~2x (measured 66.13M scoped vs 32.6M estimated at tm=256/side=2048 —
+    # the SPMD wall-BC/corner predication keeps more window-sized values
+    # live through the gather chain), so the row weights are doubled to
+    # match the measured allocation against the 64MB per-kernel cap.
+    for cand in (256, 128, 64, 32, 16, 8):
+        wr = cand + 2 * K
+        if (
+            m % cand == 0
+            and cand >= 2 * K
+            and (12 * wr + 16 * cand + 32) * side * 4
+            <= pallas_ops._SWEEP_BUDGET
+        ):
+            return cand
+    if _interpret():
+        return m
+    return None
+
+
+def dens_slab_supported(m: int, side: int, iters: int, cmax: int) -> bool:
+    if cmax > 7:  # staging-buffer static slices need cmax <= 7
+        return False
+    K = dens_slab_margin(iters, cmax)
+    return K <= m and _dens_slab_tm(m, side, K) is not None
+
+
+def _slab_window_corners(dst, start, wr: int, side: int, is_top, is_bot,
+                         gtop, gbot):
+    """Corner averaging (``FluidSequential.c:71-74``) on a swept window —
+    needed pre-gather because corners ARE bilinear gather sources (the
+    backtrace clamp pulls wall-adjacent cells onto them).  Same 8-row
+    block read-modify-write alignment trick as ``_slab_window_bc``."""
+    half = jnp.asarray(0.5, dst.dtype)
+
+    @pl.when(is_top & (start <= gtop) & (gtop < start + wr))
+    def _():
+        kw = pl.multiple_of(gtop - start, 8)
+        blk = dst[pl.ds(kw, 8), :]
+        r0, r1 = blk[0:1, :], blk[1:2, :]
+        new0 = jnp.concatenate(
+            [
+                half * (r0[:, 1:2] + r1[:, 0:1]),
+                r0[:, 1 : side - 1],
+                half * (r0[:, side - 2 : side - 1] + r1[:, side - 1 : side]),
+            ],
+            axis=1,
+        )
+        dst[pl.ds(kw, 8), :] = jnp.concatenate([new0, blk[1:8, :]], axis=0)
+
+    @pl.when(is_bot & (start <= gbot) & (gbot < start + wr))
+    def _():
+        a0 = pl.multiple_of(gbot - 7 - start, 8)
+        blk = dst[pl.ds(a0, 8), :]
+        r7, r6 = blk[7:8, :], blk[6:7, :]
+        new7 = jnp.concatenate(
+            [
+                half * (r7[:, 1:2] + r6[:, 0:1]),
+                r7[:, 1 : side - 1],
+                half * (r7[:, side - 2 : side - 1] + r6[:, side - 1 : side]),
+            ],
+            axis=1,
+        )
+        dst[pl.ds(a0, 8), :] = jnp.concatenate([blk[0:7, :], new7], axis=0)
+
+
+def _dens_slab_kernel(
+    flags_ref, src_hbm, base_hbm, u_ref, v_ref, out_ref,
+    xs2, rhs2, buf_b, buf_c, g11b, wbuf, sems,
+    *, b: int, alpha: float, beta: float, sweeps: int, tm: int, wr: int,
+    side: int, K: int, m: int, nstrips: int, n: int, dt: float, cmax: int,
+    fast: bool,
+):
+    """The whole ``dens_step`` (``FluidSequential.c:176-186``) per strip of
+    the K-extended slab — the SPMD port of
+    ``pallas_ops._dens_fused_kernel``: add_source folded into the Jacobi
+    rhs, ``sweeps`` diffusion sweeps in VMEM, then the semi-Lagrangian
+    gather reads the diffused field straight out of the sweep window.  One
+    K-deep src/base halo exchange replaces the separate diffusion exchange
+    + advection exchange, and the diffused density never round-trips HBM.
+
+    Uniform geometry (halo == margin, like ``_jacobi_slab_kernel``), which
+    makes the gather staging offset STATIC (output row 0 is always window
+    row K): the unsharded kernel's dynamic normalization roll becomes a
+    static slice."""
+    gi = pl.program_id(0)
+    slot = jax.lax.rem(gi, 2)
+
+    def dmas(gi_, slot_):
+        start_ = pl.multiple_of(gi_ * tm, 8)
+        return [
+            pltpu.make_async_copy(
+                base_hbm.at[pl.ds(start_, wr), :], rhs2.at[slot_],
+                sems.at[slot_, 0],
+            ),
+            pltpu.make_async_copy(
+                src_hbm.at[pl.ds(start_, wr), :], xs2.at[slot_],
+                sems.at[slot_, 1],
+            ),
+        ]
+
+    @pl.when(gi == 0)
+    def _():
+        for cp in dmas(gi, slot):
+            cp.start()
+
+    @pl.when(gi + 1 < nstrips)
+    def _():
+        for cp in dmas(gi + 1, jax.lax.rem(gi + 1, 2)):
+            cp.start()
+
+    for cp in dmas(gi, slot):
+        cp.wait()
+
+    is_top = flags_ref[0] == 1
+    is_bot = flags_ref[1] == 1
+    row0 = flags_ref[2]
+    start = gi * tm
+    gtop = K
+    gbot = K + m - 1
+    dtype = buf_b.dtype
+    sxf, syf = _signs(b)
+    sx = jnp.asarray(sxf, dtype)
+    sy = jnp.asarray(syf, dtype)
+
+    # --- Jacobi diffusion with the source folded into the rhs ---
+    buf_c[:] = xs2[slot]  # the source buffer is the Jacobi guess
+    rhs_buf = rhs2.at[slot]
+    inv_b = jnp.asarray(1.0 / beta, dtype)
+    src_term = jnp.asarray(dt, dtype) * buf_c[:]
+    if fast:
+        rhs_buf[:] = (rhs_buf[:] + src_term) * inv_b
+    else:
+        rhs_buf[:] = rhs_buf[:] + src_term
+    a_c = jnp.asarray(alpha, dtype)
+    ab_c = jnp.asarray(alpha / beta, dtype)
+    b_c = jnp.asarray(beta, dtype)
+
+    def sweep(src, dst):
+        s = src[:]
+        sL = pltpu.roll(s, 1, 1)
+        sR = pltpu.roll(s, side - 1, 1)
+        sU = pltpu.roll(s, 1, 0)
+        sD = pltpu.roll(s, wr - 1, 0)
+        neigh = ((sL + sR) + sU) + sD
+        if fast:
+            dst[:] = rhs_buf[:] + ab_c * neigh
+        else:
+            dst[:] = (rhs_buf[:] + a_c * neigh) / b_c
+        _slab_window_bc(dst, sx, sy, start, wr, side, is_top, is_bot,
+                        gtop, gbot)
+
+    def double_sweep(_, carry):
+        sweep(buf_c, buf_b)
+        sweep(buf_b, buf_c)
+        return carry
+
+    jax.lax.fori_loop(0, sweeps // 2, double_sweep, 0)
+    if sweeps % 2:
+        sweep(buf_c, buf_b)
+        buf_c[:] = buf_b[:]
+    # Corner cells ARE gather sources; fix them before gathering.
+    _slab_window_corners(buf_c, start, wr, side, is_top, is_bot, gtop, gbot)
+
+    # --- Semi-Lagrangian gather from the swept window ---
+    dt0 = jnp.asarray(dt, dtype) * n
+    gri = row0 + gi * tm + jax.lax.broadcasted_iota(jnp.int32, (tm, side), 0)
+    gci = jax.lax.broadcasted_iota(jnp.int32, (tm, side), 1)
+    gr = gri.astype(dtype)
+    gc = gci.astype(dtype)
+    x = gc - dt0 * u_ref[:]
+    y = gr - dt0 * v_ref[:]
+    lo = jnp.asarray(0.5, dtype)
+    hi = jnp.asarray(n + 0.5, dtype)
+    x = jnp.clip(jnp.clip(x, lo, hi), gc - cmax, gc + cmax)
+    y = jnp.clip(jnp.clip(y, lo, hi), gr - cmax, gr + cmax)
+    j0 = x.astype(jnp.int32)
+    i0 = y.astype(jnp.int32)
+    s1 = x - j0.astype(dtype)
+    s0 = jnp.asarray(1.0, dtype) - s1
+    t1 = y - i0.astype(dtype)
+    t0 = jnp.asarray(1.0, dtype) - t1
+    nshift = 2 * cmax + 1
+    di = i0 - gri
+    key = (di + cmax) * nshift + (j0 - gci + cmax)
+    a_lo = jnp.min(di)
+    a_hi = jnp.max(di)
+
+    g00 = xs2.at[slot]   # dead since the guess was copied out
+    g01 = rhs2.at[slot]  # dead after the final sweep
+    g10 = buf_b          # dead after the final sweep
+    g11 = g11b
+    zero = jnp.zeros((tm, side), dtype)
+    g00[0:tm, :] = zero
+    g01[0:tm, :] = zero
+    g10[0:tm, :] = zero
+    g11[:] = zero
+
+    # Output row 0 is window row K (uniform geometry): stage the gather
+    # sub-window with it at static local row 8 via a static slice.
+    wbuf[:] = buf_c[K - 8 : K + tm + 8, :]
+
+    for a_idx in range(nshift):
+        a = a_idx - cmax
+
+        def _term(a_idx=a_idx, a=a):
+            v00, v01 = g00[0:tm, :], g01[0:tm, :]
+            v10, v11 = g10[0:tm, :], g11[:]
+            qq = pltpu.roll(wbuf[8 + a : 8 + a + tm + 1, :], cmax, 1)
+            for bbi in range(nshift):
+                mk = key == (a_idx * nshift + bbi)
+                qn = pltpu.roll(qq, side - 1, 1)
+                v00 = jnp.where(mk, qq[0:tm, :], v00)
+                v01 = jnp.where(mk, qn[0:tm, :], v01)
+                v10 = jnp.where(mk, qq[1 : tm + 1, :], v10)
+                v11 = jnp.where(mk, qn[1 : tm + 1, :], v11)
+                qq = qn
+            g00[0:tm, :] = v00
+            g01[0:tm, :] = v01
+            g10[0:tm, :] = v10
+            g11[:] = v11
+
+        if cmax >= 2:
+            pl.when(jnp.logical_and(a_lo <= a, a <= a_hi))(_term)
+        else:
+            _term()
+
+    # Exact reference blend order (FluidSequential.c:136-137).
+    out_ref[:] = s0 * (t0 * g00[0:tm, :] + t1 * g10[0:tm, :]) + s1 * (
+        t0 * g01[0:tm, :] + t1 * g11[:]
+    )
+    _apply_bnd_slab_block(out_ref, b, gi, tm, side, nstrips, is_top, is_bot)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("b", "alpha", "beta", "iters", "dt", "n", "cmax", "m",
+                     "K", "fast"),
+)
+def fused_dens_slab(b, src_ext, base_ext, u_slab, v_slab, flags, *,
+                    alpha, beta, iters, dt, n, cmax, m, K, fast=False):
+    """``advect(b, diffuse_src(b, src, base, ...), u, v)`` in one slab
+    kernel on (m+2K, side) halo-extended src/base;
+    requires ``K == dens_slab_margin(iters, cmax)``.  Returns the (m, side)
+    density slab."""
+    me, side = base_ext.shape
+    assert me == m + 2 * K, (me, m, K)
+    assert base_ext.dtype == jnp.float32, "fused dens slab kernel is f32-only"
+    assert 1 <= cmax <= 7, "staging-buffer static slices need cmax <= 7"
+    assert K >= iters + 1 + cmax or _interpret()
+    tm = _dens_slab_tm(m, side, K)
+    assert tm is not None, f"no viable dens strip for m={m}, side={side}"
+    wr = tm + 2 * K
+    nstrips = m // tm
+    kernel = functools.partial(
+        _dens_slab_kernel, b=b, alpha=float(alpha), beta=float(beta),
+        sweeps=iters, tm=tm, wr=wr, side=side, K=K, m=m, nstrips=nstrips,
+        n=n, dt=float(dt), cmax=cmax, fast=fast,
+    )
+    blk = pl.BlockSpec((tm, side), lambda gi: (gi, 0),
+                       memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=(nstrips,),
+        out_shape=jax.ShapeDtypeStruct((m, side), base_ext.dtype),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            blk,
+            blk,
+        ],
+        out_specs=blk,
+        scratch_shapes=[
+            pltpu.VMEM((2, wr, side), base_ext.dtype),
+            pltpu.VMEM((2, wr, side), base_ext.dtype),
+            pltpu.VMEM((wr, side), base_ext.dtype),
+            pltpu.VMEM((wr, side), base_ext.dtype),
+            pltpu.VMEM((tm, side), base_ext.dtype),
+            pltpu.VMEM((tm + 16, side), base_ext.dtype),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ],
+        interpret=_interpret(),
+        compiler_params=None if _interpret() else pltpu.CompilerParams(
+            vmem_limit_bytes=pallas_ops._SWEEP_KERNEL_CAP
+        ),
+    )(flags, src_ext, base_ext, u_slab, v_slab)
 
 
 # ---------------------------------------------------------------------------

@@ -602,7 +602,25 @@ def _step_local_pallas(cfg: SimConfig, px: int, audited: bool,
         def solve(div):
             return diffuse(0, None, div, 1.0, 4.0, it, zero_init=True)
 
+    # Jacobi projections fuse div + sweeps + gradient into ONE slab kernel
+    # with ONE K-deep u/v halo exchange (p and div never leave VMEM) —
+    # the SPMD port of the unsharded fused projection, replacing three
+    # kernels and three exchanges.  mg/cg (and shapes with no viable
+    # fused strip) keep the composed path.
+    use_fused_proj = (
+        cfg.pressure_solver == "jacobi"
+        and ps.project_slab_supported(m, side, it)
+    )
+
     def project(u, v):
+        if use_fused_proj:
+            Kp = ps.project_slab_margin(it)
+            ut, ub = _halo_rows(u, px, Kp)
+            vt, vb = _halo_rows(v, px, Kp)
+            u_ext = jnp.concatenate([ut, u, ub], axis=0)
+            v_ext = jnp.concatenate([vt, v, vb], axis=0)
+            return ps.fused_project_slab(u_ext, v_ext, flags, n=n,
+                                         iters=it, m=m, K=Kp)
         vt, vb = _halo_rows(v, px, 8)
         div = ps.divergence_slab(u, v, vt, vb, flags, n)
         p = solve(div)
@@ -649,11 +667,27 @@ def _step_local_pallas(cfg: SimConfig, px: int, audited: bool,
     u, v = project(u, v)
     d_dens = _disp_global(u, v, dtim * n) if audited else None
 
-    dens = state.dens + dt_c * src.dens
     alpha = cfg.diffusion_alpha_diff
     beta = 1.0 + 4.0 * alpha
-    dens = diffuse(0, src.dens, dens, alpha, beta, it, use_fast=fast)
-    dens = advect_one(0, dens, u, v)
+    if it <= fuse and ps.dens_slab_supported(m, side, it, cmax):
+        # Fused density pair: ONE K-deep src/base exchange + one kernel
+        # (add_source folded into the rhs, diffusion sweeps in VMEM, the
+        # gather reads the diffused field straight out of the sweep
+        # window) — the SPMD port of the unsharded diffuse_advect fusion.
+        Kd = ps.dens_slab_margin(it, cmax)
+        st_, sb_ = _halo_rows(src.dens, px, Kd)
+        bt_, bb_ = _halo_rows(state.dens, px, Kd)
+        dens = ps.fused_dens_slab(
+            0,
+            jnp.concatenate([st_, src.dens, sb_], axis=0),
+            jnp.concatenate([bt_, state.dens, bb_], axis=0),
+            u, v, flags, alpha=alpha, beta=beta, iters=it, dt=dtim, n=n,
+            cmax=cmax, m=m, K=Kd, fast=fast,
+        )
+    else:
+        dens = state.dens + dt_c * src.dens
+        dens = diffuse(0, src.dens, dens, alpha, beta, it, use_fast=fast)
+        dens = advect_one(0, dens, u, v)
     out = FluidState(dens=dens, u=u, v=v)
     if audited:
         return out, jnp.maximum(d_vel, d_dens)
