@@ -41,8 +41,23 @@ def _use_pallas3(cfg: SimConfig) -> bool:
 
 class _Ops3:
     """3-D op dispatch: jnp (reference) vs fused Pallas volume kernels.
-    Pallas kernels return interiors+faces; ``set_bnd3`` rebuilds the full
-    ghost layer so outputs are bit-compatible with the jnp ops."""
+
+    Ghost-layer policy on the Pallas path (round 3 — ~20% of the step
+    before): the full ``set_bnd3`` rebuild used to run after EVERY kernel
+    (~18 calls/step, ~1 ms each at 256³ through the embed route).  Two
+    fixes: (a) ``set_bnd3`` now writes faces directly instead of padding a
+    fresh volume, and (b) calls whose consumers never read the cells they
+    would fix are dropped.  The dependency facts that make (b) sound:
+    the Jacobi kernel maintains ghost FACES in-sweep (exact jnp face
+    rule); 6/7-point stencils never read ghost edges/corners (a stencil
+    neighbor of an interior cell has at most one ghost coordinate); the
+    pressure solve reads its rhs at interior cells only and starts from a
+    zero guess; gathers DO read edges/corners (the backtrace clamp makes
+    them trilinear sources).  So: diffusion outputs and the in-projection
+    div/p flow raw; gradient outputs get the full layer (their ghost is
+    roll garbage, and they feed gathers or are final); self-advected
+    velocities get faces only (they feed only the second projection);
+    density results get the full layer (final)."""
 
     def __init__(self, cfg: SimConfig):
         self.cfg = cfg
@@ -52,21 +67,20 @@ class _Ops3:
         if self.pallas:
             from ..kernels import pallas_ops_3d as k3
 
-            return o3.set_bnd3(
-                b, k3.fused_jacobi3(b, x_init, x0, alpha, beta, iters,
+            return k3.fused_jacobi3(b, x_init, x0, alpha, beta, iters,
                                     fast=self.cfg.fast_math)
-            )
         return o3.diffuse3(b, x_init, x0, alpha, beta, iters)
 
-    def advect(self, b, d0, u, v, w):
+    def advect(self, b, d0, u, v, w, *, d0_complete=False, final=True):
         cfg = self.cfg
         if self.pallas:
             from ..kernels import pallas_ops_3d as k3
 
-            return o3.set_bnd3(
-                b, k3.advect3_shift(b, d0, u, v, w, cfg.dt, cfg.n,
-                                    cmax=cfg.max_courant)
-            )
+            if not d0_complete:  # gather sources include edges/corners;
+                d0 = o3.fix_edges3(d0)  # faces are kernel-maintained
+            out = k3.advect3_shift(b, d0, u, v, w, cfg.dt, cfg.n,
+                                   cmax=cfg.max_courant)
+            return o3.set_bnd3(b, out) if final else out
         import jax
 
         if jax.default_backend() == "tpu":
@@ -79,15 +93,22 @@ class _Ops3:
         if self.pallas:
             from ..kernels import pallas_ops_3d as k3
 
-            try:
-                au, av, aw = k3.advect3_shift_fused(
-                    (1, 2, 3), (u, v, w), u, v, w, cfg.dt, cfg.n,
-                    cmax=cfg.max_courant, self_advect=True,
-                )
-                return (o3.set_bnd3(1, au), o3.set_bnd3(2, av),
-                        o3.set_bnd3(3, aw))
-            except ValueError:  # no viable fused strip: three singles
-                pass
+            # Three singles beat the fused triple at 256³ (18.9 vs 20.3 ms
+            # — nf=3 shrinks the plane-strip plan; same measured-choice
+            # policy as the 2-D u+v pair kernel).  Inputs (gradient
+            # outputs) already carry the full ghost layer; outputs feed
+            # only the second projection, so faces suffice.
+            outs = (
+                k3.advect3_shift(1, u, u, v, w, cfg.dt, cfg.n,
+                                 cmax=cfg.max_courant),
+                k3.advect3_shift(2, v, u, v, w, cfg.dt, cfg.n,
+                                 cmax=cfg.max_courant),
+                k3.advect3_shift(3, w, u, v, w, cfg.dt, cfg.n,
+                                 cmax=cfg.max_courant),
+            )
+            return tuple(
+                o3.fix_faces3(b, x) for b, x in zip((1, 2, 3), outs)
+            )
         return (self.advect(1, u, u, v, w), self.advect(2, v, u, v, w),
                 self.advect(3, w, u, v, w))
 
@@ -96,11 +117,13 @@ class _Ops3:
         if self.pallas:
             from ..kernels import pallas_ops_3d as k3
 
-            div = o3.set_bnd3(0, k3.divergence3_p(u, v, w, cfg.n))
-            p = o3.set_bnd3(
-                0, k3.fused_jacobi3(0, div, div, 1.0, 6.0, iters,
-                                    zero_init=True)
-            )
+            # div feeds only the pressure solve's rhs (interior reads) and
+            # p feeds only the 1-ring gradient (kernel-maintained faces):
+            # both flow raw.  Gradient outputs feed gathers or are final:
+            # full ghost layer.
+            div = k3.divergence3_p(u, v, w, cfg.n)
+            p = k3.fused_jacobi3(0, div, div, 1.0, 6.0, iters,
+                                 zero_init=True)
             gu, gv, gw = k3.gradient3_p(u, v, w, p, cfg.n)
             return (o3.set_bnd3(1, gu), o3.set_bnd3(2, gv),
                     o3.set_bnd3(3, gw))
