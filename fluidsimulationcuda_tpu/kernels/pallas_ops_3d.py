@@ -177,24 +177,28 @@ def _jacobi3_kernel(
     y_in_plane = jax.lax.rem(rows, side)
     y0m = y_in_plane == 0
     y1m = y_in_plane == (side - 1)
+    # BC-fold masks (round 3): instead of REWRITING ghost faces after every
+    # sweep (two extra full-array rolls + column/plane stores), fold the
+    # boundary rule into the neighbor READS of the next sweep — a cell one
+    # step inside a wall reads sign*itself's-neighbor... i.e. exactly
+    # sign*s at the inside-adjacent line.  Ghost cells then carry garbage
+    # THROUGH the sweeps (nothing reads them) and the faces are derived
+    # once in the epilogue.  The FIRST sweep is left unfolded so the
+    # initial guess contributes its raw ghost ring, the reference quirk
+    # the 2-D path also preserves (FluidSequential.c:244-271 sources have
+    # live borders).
+    y1f = y_in_plane == 1
+    ym2f = y_in_plane == (side - 2)
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, side), 1)
+    c1f = col == 1
+    cm2f = col == (side - 2)
+    z1f = (rows >= side) & (rows < 2 * side) & (start == 0)
+    zm2f = (
+        (rows >= (wz - 2) * side) & (rows < (wz - 1) * side)
+        & (start + wz == side)
+    )
 
-    def bc_ref(dst):
-        # x ghost columns + z ghost faces on the 3-D ref (y faces are
-        # folded into the flattened sweep).  Same composite corner/edge
-        # values as the jnp ops' face-interior rule; edge cells are never
-        # stencil inputs.
-        dst[:, :, 0:1] = sx * dst[:, :, 1:2]
-        dst[:, :, side - 1 : side] = sx * dst[:, :, side - 2 : side - 1]
-
-        @pl.when(start == 0)
-        def _():
-            dst[0:1] = sz * dst[1:2]
-
-        @pl.when(start + wz == side)
-        def _():
-            dst[wz - 1 : wz] = sz * dst[wz - 2 : wz - 1]
-
-    def sweep(src, dst):
+    def sweep(src, dst, fold: bool):
         s = src[:].reshape(L, side)
         sL = pltpu.roll(s, 1, 1)
         sR = pltpu.roll(s, side - 1, 1)
@@ -202,30 +206,55 @@ def _jacobi3_kernel(
         sD = pltpu.roll(s, L - 1, 0)       # y+1
         sF = pltpu.roll(s, side, 0)        # z-1 (margin absorbs seam)
         sB = pltpu.roll(s, L - side, 0)    # z+1
+        if fold:
+            sL = jnp.where(c1f, sx * s, sL)
+            sR = jnp.where(cm2f, sx * s, sR)
+            sU = jnp.where(y1f, sy * s, sU)
+            sD = jnp.where(ym2f, sy * s, sD)
+            sF = jnp.where(z1f, sz * s, sF)
+            sB = jnp.where(zm2f, sz * s, sB)
         neigh = ((sL + sR) + (sU + sD)) + (sF + sB)
         if fast:
             d2 = rhs_buf[:].reshape(L, side) + ab_c * neigh
         else:
             d2 = (rhs_buf[:].reshape(L, side) + a_c * neigh) / b_c
-        # y ghost faces of every plane, in-sweep (FluidSequential.c:62-75
-        # generalized): row 0 <- sy*row 1, row side-1 <- sy*row side-2.
-        d2 = jnp.where(y0m, sy * pltpu.roll(d2, L - 1, 0), d2)
-        d2 = jnp.where(y1m, sy * pltpu.roll(d2, 1, 0), d2)
         dst[:] = d2.reshape(wz, side, side)
-        bc_ref(dst)
+
+    sweep(buf_c, buf_b, False)  # sweep 1: raw guess ghost (jnp semantics)
 
     def double_sweep(_, carry):
-        sweep(buf_c, buf_b)
-        sweep(buf_b, buf_c)
+        sweep(buf_b, buf_c, True)
+        sweep(buf_c, buf_b, True)
         return carry
 
-    jax.lax.fori_loop(0, sweeps // 2, double_sweep, 0)
-    if sweeps % 2:
-        sweep(buf_c, buf_b)
-        buf_c[:] = buf_b[:]
+    rem = sweeps - 1
+    jax.lax.fori_loop(0, rem // 2, double_sweep, 0)
+    if rem % 2:
+        sweep(buf_b, buf_c, True)
+        final = buf_c
+    else:
+        final = buf_b
+
+    # Epilogue: derive the ghost FACES once from the converged interior
+    # (the per-sweep rewrite this replaces cost 2 rolls/sweep; callers
+    # rely on kernel outputs having jnp-rule faces — models/_Ops3 policy).
+    f2 = final[:].reshape(L, side)
+    f2 = jnp.where(y0m, sy * pltpu.roll(f2, L - 1, 0), f2)
+    f2 = jnp.where(y1m, sy * pltpu.roll(f2, 1, 0), f2)
+    final[:] = f2.reshape(wz, side, side)
+    final[:, :, 0:1] = sx * final[:, :, 1:2]
+    final[:, :, side - 1 : side] = sx * final[:, :, side - 2 : side - 1]
+
+    @pl.when(start == 0)
+    def _():
+        final[0:1] = sz * final[1:2]
+
+    @pl.when(start + wz == side)
+    def _():
+        final[wz - 1 : wz] = sz * final[wz - 2 : wz - 1]
 
     off = gi * tz - start  # dynamic, leading dim: no alignment constraint
-    out_ref[:] = buf_c[pl.ds(off, tz)]
+    out_ref[:] = final[pl.ds(off, tz)]
 
 
 def fused_jacobi3(
@@ -511,10 +540,205 @@ def _advect3_call(bs, d0s, dt, n, cmax, self_adv, u, v, w):
     return out if isinstance(out, tuple) else (out,)
 
 
+# --- Flattened single-field gather (round 3) -------------------------------
+#
+# The plane-at-a-time kernel above issues thousands of small (side, side)
+# ops per volume (2,300+ rolls at 256³/cmax=1) — each too small to fill the
+# VPU.  For one field, flatten z into the sublane axis exactly like the
+# Jacobi kernel: a (dz, dy) candidate pair becomes ONE static row offset
+# ``dz*side + dy`` into the flattened window, and the whole tz-plane strip
+# gathers with (tz*side, side)-sized ops.  Term count is identical
+# ((2C+1)³ masked selects, 8 corners sharing one mask compare); op
+# granularity is ~tz*side/1 larger.  Measured at 256³/cmax=1: 6.1 → 2.5 ms
+# per field.
+
+
+def _advect3_flat_plan(side: int, cmax: int):
+    """z-strip height for the flattened gather, or None."""
+    if cmax > 2:  # (2C+1)³ unrolled select chain: compile-size gate
+        return None
+    C = cmax + 1
+    for tz in (8, 4, 2, 1):
+        if side % tz:
+            continue
+        L = tz * side
+        W = (tz + 2 * C) * side
+        pad = _ceil8_3d(cmax + 1)
+        # rows of side-lane f32: wbuf + win + 8 accumulators + ~6 live
+        # (L+side)-row chain values + out block.  The 30MB budget is
+        # calibrated against the measured compiled footprint (tz=8 at 256³
+        # estimated 39MB, compiled 66.5M — ~1.7x; tz=4 compiles at ~37M
+        # under the 64MB cap).
+        rows = (W + pad) + W + 8 * L + 6 * (L + side + 8) + 2 * L
+        if rows * side * 4 <= 30 * 2**20:
+            return tz
+    return None
+
+
+def _ceil8_3d(x: int) -> int:
+    return (x + 7) // 8 * 8
+
+
+def _advect3_flat_kernel(
+    d0_hbm, u_blk, v_blk, w_blk, out_ref, win, wbuf,
+    g000, g001, g010, g011, g100, g101, g110, g111, sem,
+    *, dt: float, n: int, tz: int, wz: int, side: int, cmax: int,
+):
+    gi = pl.program_id(0)
+    C = cmax + 1
+    start = jnp.clip(gi * tz - C, 0, side - wz)
+    base = gi * tz - start  # window plane of this strip's first out plane
+    cp = pltpu.make_async_copy(d0_hbm.at[pl.ds(start, wz)], win, sem)
+    cp.start()
+    cp.wait()
+
+    W = wz * side
+    L = tz * side
+    Cs = C * side
+    dtype = win.dtype
+    # Stage the flattened window with out plane 0 at STATIC row Cs (one
+    # positive-normalized dynamic roll — negative dynamic sublane shifts
+    # mis-rotate in compiled Mosaic, cf. the 2-D kernels).
+    shift = jax.lax.rem(jnp.int32(W) + Cs - base * side, jnp.int32(W))
+    wbuf[0:W, :] = pltpu.roll(win[:].reshape(W, side), shift, 0)
+
+    rows = jax.lax.broadcasted_iota(jnp.int32, (L, 1), 0)
+    gzi = gi * tz + rows // side
+    gyi = jax.lax.rem(rows, side)
+    gxi = jax.lax.broadcasted_iota(jnp.int32, (L, side), 1)
+    gz = gzi.astype(dtype)
+    gy = gyi.astype(dtype)
+    gx = gxi.astype(dtype)
+    dt0 = jnp.asarray(dt, dtype) * n
+    x = gx - dt0 * u_blk[:].reshape(L, side)
+    y = gy - dt0 * v_blk[:].reshape(L, side)
+    z = gz - dt0 * w_blk[:].reshape(L, side)
+    lo = jnp.asarray(0.5, dtype)
+    hi = jnp.asarray(n + 0.5, dtype)
+    x = jnp.clip(jnp.clip(x, lo, hi), gx - cmax, gx + cmax)
+    y = jnp.clip(jnp.clip(y, lo, hi), gy - cmax, gy + cmax)
+    z = jnp.clip(jnp.clip(z, lo, hi), gz - cmax, gz + cmax)
+    i0 = x.astype(jnp.int32)
+    j0 = y.astype(jnp.int32)
+    k0 = z.astype(jnp.int32)
+    fx = x - i0.astype(dtype)
+    fy = y - j0.astype(dtype)
+    fz = z - k0.astype(dtype)
+    nsh = 2 * cmax + 1
+    di = i0 - gxi
+    dj = j0 - gyi
+    dk = k0 - gzi
+    key = ((dk + cmax) * nsh + (dj + cmax)) * nsh + (di + cmax)
+    # Strip-range term skipping, factored per axis (the 2-D strip-range
+    # gate, one dimension up): a (dz, dy) candidate pair whose offset no
+    # cell in the strip uses is skipped at run time (masks provably
+    # all-false).
+    dk_lo, dk_hi = jnp.min(dk), jnp.max(dk)
+    dj_lo, dj_hi = jnp.min(dj), jnp.max(dj)
+
+    zero = jnp.zeros((L, side), dtype)
+    for g in (g000, g001, g010, g011, g100, g101, g110, g111):
+        g[:] = zero
+
+    for dzi in range(nsh):
+        for dyi in range(nsh):
+            dz = dzi - cmax
+            dy = dyi - cmax
+            rshift = dz * side + dy
+
+            def _pair(dzi=dzi, dyi=dyi, rshift=rshift):
+                v000, v001 = g000[:], g001[:]
+                v010, v011 = g010[:], g011[:]
+                v100, v101 = g100[:], g101[:]
+                v110, v111 = g110[:], g111[:]
+                rq = wbuf[Cs + rshift : Cs + rshift + L + side + 1, :]
+                q = pltpu.roll(rq, cmax, 1)  # lane c reads c - cmax
+                for dii in range(nsh):
+                    t = (dzi * nsh + dyi) * nsh + dii
+                    mk = key == t
+                    qn = pltpu.roll(q, q.shape[-1] - 1, 1)
+                    v000 = jnp.where(mk, q[0:L, :], v000)
+                    v001 = jnp.where(mk, qn[0:L, :], v001)
+                    v010 = jnp.where(mk, q[1 : L + 1, :], v010)
+                    v011 = jnp.where(mk, qn[1 : L + 1, :], v011)
+                    v100 = jnp.where(mk, q[side : L + side, :], v100)
+                    v101 = jnp.where(mk, qn[side : L + side, :], v101)
+                    v110 = jnp.where(mk, q[side + 1 : L + side + 1, :], v110)
+                    v111 = jnp.where(mk, qn[side + 1 : L + side + 1, :], v111)
+                    q = qn
+                g000[:] = v000
+                g001[:] = v001
+                g010[:] = v010
+                g011[:] = v011
+                g100[:] = v100
+                g101[:] = v101
+                g110[:] = v110
+                g111[:] = v111
+
+            pl.when(
+                jnp.logical_and(
+                    jnp.logical_and(dk_lo <= dz, dz <= dk_hi),
+                    jnp.logical_and(dj_lo <= dy, dy <= dj_hi),
+                )
+            )(_pair)
+
+    one = jnp.asarray(1.0, dtype)
+    # Trilinear blend in the jnp ops' exact expression order
+    # (ops/three_d.py advect3_windowed); row offset +1 = y+1, +side = z+1.
+    interior = (
+        (one - fz) * (
+            (one - fy) * ((one - fx) * g000[:] + fx * g001[:])
+            + fy * ((one - fx) * g010[:] + fx * g011[:])
+        )
+        + fz * (
+            (one - fy) * ((one - fx) * g100[:] + fx * g101[:])
+            + fy * ((one - fx) * g110[:] + fx * g111[:])
+        )
+    )
+    out_ref[:] = interior.reshape(tz, side, side)
+
+
+@functools.partial(jax.jit, static_argnames=("dt", "n", "cmax"))
+def _advect3_flat_call(d0, u, v, w, dt, n, cmax):
+    side = n + 2
+    tz = _advect3_flat_plan(side, cmax)
+    assert tz is not None
+    C = cmax + 1
+    wz = tz + 2 * C
+    W = wz * side
+    pad = _ceil8_3d(cmax + 1)
+    kernel = functools.partial(
+        _advect3_flat_kernel, dt=dt, n=n, tz=tz, wz=wz, side=side,
+        cmax=cmax,
+    )
+    sblk = pl.BlockSpec((tz, side, side), lambda gi: (gi, 0, 0),
+                        memory_space=pltpu.VMEM)
+    L = tz * side
+    return pl.pallas_call(
+        kernel,
+        grid=(side // tz,),
+        out_shape=jax.ShapeDtypeStruct((side, side, side), d0.dtype),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY), sblk, sblk, sblk],
+        out_specs=sblk,
+        scratch_shapes=[
+            pltpu.VMEM((wz, side, side), d0.dtype),
+            pltpu.VMEM((W + pad, side), d0.dtype),
+        ]
+        + [pltpu.VMEM((L, side), d0.dtype) for _ in range(8)]
+        + [pltpu.SemaphoreType.DMA],
+        interpret=_interpret(),
+        compiler_params=None if _interpret() else pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 2**20
+        ),
+    )(d0, u, v, w)
+
+
 def advect3_shift(b, d0, u, v, w, dt, n, *, cmax=2):
     """Windowed trilinear advection (semantics of
     ``ops.three_d.advect3_windowed`` minus the final ghost layer — call
     ``set_bnd3`` on the result)."""
+    if _advect3_flat_plan(n + 2, cmax) is not None:
+        return _advect3_flat_call(d0, u, v, w, float(dt), n, cmax)
     return _advect3_call((b,), (d0,), float(dt), n, cmax, False, u, v, w)[0]
 
 

@@ -1050,14 +1050,17 @@ def advect_slab(bs, exts, u_slab, v_slab, flags, *, dt, n, cmax, m, self_adv):
 
 
 def _halo1_slab_specs(m: int, side: int):
-    tm = _slab_tm(m, side, 8)
-    if tm is None or tm == m:
-        for cand in (128, 64, 32, 16, 8):
-            if m % cand == 0:
-                tm = cand
-                break
-        else:
-            tm = m
+    # Independent of the sweep-strip tuner: the 1-halo kernels run under
+    # the default 48MB cap and their blocked specs (3-shifted inputs +
+    # outs, ~10 strips live) blow scoped vmem at 512-row strips (measured:
+    # gradient_slab 56.1M at tm=512/side=2048).  128 rows is plenty — these
+    # kernels are pure HBM streaming.
+    for cand in (128, 64, 32, 16, 8):
+        if m % cand == 0 and 10 * cand * side * 4 <= _VMEM_BUDGET:
+            tm = cand
+            break
+    else:
+        tm = m
     nstrips = m // tm
 
     def blk(shift):
