@@ -409,9 +409,191 @@ def _step3_local(cfg: SimConfig, pz: int, advect_mode: str, audited: bool,
     return out
 
 
+def _apply_bnd3_direct(b: int, x: jnp.ndarray, is_top, is_bot):
+    """``_apply_bnd3_coords`` semantics via in-place ``.at`` chains instead
+    of the mask/concat cascade — XLA fuses the chain into ~2 passes where
+    the where/concat form materializes a full-volume copy per shifted view
+    (measured ~4-5 ms/call at 256³ vs ~0.3 ms for this form).  z-wall
+    pieces are selected per shard with scalar ``jnp.where`` (one traced
+    program serves all shards).  Values are identical: same cascade order
+    (faces → edges → corners), same averages."""
+    dt = x.dtype
+    flip = _AXIS_OF_MODE.get(b)
+    sz = jnp.asarray(-1.0 if flip == 0 else 1.0, dt)
+    sy = jnp.asarray(-1.0 if flip == 1 else 1.0, dt)
+    sx = jnp.asarray(-1.0 if flip == 2 else 1.0, dt)
+    half = jnp.asarray(0.5, dt)
+    third = jnp.asarray(1.0 / 3.0, dt)
+
+    # Faces (z conditional on wall shards; y/x on every shard).
+    x = x.at[0].set(jnp.where(is_top, sz * x[1], x[0]))
+    x = x.at[-1].set(jnp.where(is_bot, sz * x[-2], x[-1]))
+    x = x.at[:, 0, :].set(sy * x[:, 1, :])
+    x = x.at[:, -1, :].set(sy * x[:, -2, :])
+    x = x.at[:, :, 0].set(sx * x[:, :, 1])
+    x = x.at[:, :, -1].set(sx * x[:, :, -2])
+
+    # Edges: mean of the 2 adjacent (finalized) face cells.
+    # y-x edges exist on every plane (2 ghost coords y,x).
+    x = x.at[:, 0, 0].set(half * (x[:, 1, 0] + x[:, 0, 1]))
+    x = x.at[:, 0, -1].set(half * (x[:, 1, -1] + x[:, 0, -2]))
+    x = x.at[:, -1, 0].set(half * (x[:, -2, 0] + x[:, -1, 1]))
+    x = x.at[:, -1, -1].set(half * (x[:, -2, -1] + x[:, -1, -2]))
+    # z-y and z-x edges (z ghost + one in-plane ghost): wall shards only.
+    for zi, zn, flag in ((0, 1, is_top), (-1, -2, is_bot)):
+        for yi, yn in ((0, 1), (-1, -2)):
+            x = x.at[zi, yi, 1:-1].set(jnp.where(
+                flag, half * (x[zn, yi, 1:-1] + x[zi, yn, 1:-1]),
+                x[zi, yi, 1:-1]))
+        for xi, xn in ((0, 1), (-1, -2)):
+            x = x.at[zi, 1:-1, xi].set(jnp.where(
+                flag, half * (x[zn, 1:-1, xi] + x[zi, 1:-1, xn]),
+                x[zi, 1:-1, xi]))
+    # Corners (3 ghost coords): mean of the 3 adjacent just-set edges.
+    for zi, zn, flag in ((0, 1, is_top), (-1, -2, is_bot)):
+        for yi, yn in ((0, 1), (-1, -2)):
+            for xi, xn in ((0, 1), (-1, -2)):
+                x = x.at[zi, yi, xi].set(jnp.where(
+                    flag,
+                    third * (x[zn, yi, xi] + x[zi, yn, xi] + x[zi, yi, xn]),
+                    x[zi, yi, xi]))
+    return x
+
+
+def _divergence3_fast(u, v, w, n, pz, is_top, is_bot):
+    """``_divergence3_local`` semantics via slice arithmetic + one pad
+    (the mask/concat form costs ~6 full-volume copies)."""
+    dt = u.dtype
+    we = _extend_z(w, pz, 1)
+    h = jnp.asarray(1.0, dt) / n
+    d = (jnp.asarray(-0.5, dt) * h) * (
+        (u[:, 1:-1, 2:] - u[:, 1:-1, :-2])
+        + (v[:, 2:, 1:-1] - v[:, :-2, 1:-1])
+        + (we[2:, 1:-1, 1:-1] - we[:-2, 1:-1, 1:-1])
+    )
+    d = jnp.pad(d, ((0, 0), (1, 1), (1, 1)))
+    return _apply_bnd3_direct(0, d, is_top, is_bot)
+
+
+def _gradient3_fast(u, v, w, p, n, pz, is_top, is_bot):
+    dt = u.dtype
+    pe = _extend_z(p, pz, 1)
+    h = jnp.asarray(1.0, dt) / n
+    half = jnp.asarray(0.5, dt)
+    un = u[:, 1:-1, 1:-1] - (half * (p[:, 1:-1, 2:] - p[:, 1:-1, :-2])) / h
+    vn = v[:, 1:-1, 1:-1] - (half * (p[:, 2:, 1:-1] - p[:, :-2, 1:-1])) / h
+    wn = w[:, 1:-1, 1:-1] - (
+        half * (pe[2:, 1:-1, 1:-1] - pe[:-2, 1:-1, 1:-1])
+    ) / h
+    pad = ((0, 0), (1, 1), (1, 1))
+    return (
+        _apply_bnd3_direct(1, jnp.pad(un, pad), is_top, is_bot),
+        _apply_bnd3_direct(2, jnp.pad(vn, pad), is_top, is_bot),
+        _apply_bnd3_direct(3, jnp.pad(wn, pad), is_top, is_bot),
+    )
+
+
+def _step3_local_pallas(cfg: SimConfig, pz: int, audited: bool,
+                        state: FluidState, src: Sources):
+    """Per-shard 3-D step through the Pallas slab kernels
+    (``kernels.pallas_sharded_3d``).  Same composition as ``_step3_local``
+    with windowed advection; divergence/gradient stay jnp-local (pure
+    streaming stencils — the 100 Jacobi sweeps and 4 gathers are where
+    the kernels pay), in the fused ``.at``-chain form."""
+    import jax
+
+    from ..kernels import pallas_sharded_3d as p3
+
+    n, dtim = cfg.n, cfg.dt
+    it = cfg.jacobi_iters
+    side = n + 2
+    mz = side // pz
+    cmax = cfg.max_courant
+    fuse = cfg.fuse_sweeps or 20
+    fast = cfg.fast_math
+
+    az = jax.lax.axis_index("z")
+    is_top = az == 0
+    is_bot = az == pz - 1
+    flags = jnp.stack(
+        [
+            is_top.astype(jnp.int32),
+            is_bot.astype(jnp.int32),
+            (az * mz).astype(jnp.int32),  # global z of slab plane 0
+        ]
+    )
+
+    _, Kplan = p3.jacobi3_slab_plan(mz, side, min(fuse, it))
+    if Kplan is None:  # interpret mode on tiny slabs
+        Kplan = max(1, min(it, mz - 1))
+    H = Kplan + 1
+
+    def diffuse(b, x_init, rhs, alpha, beta, iters, zero_init=False):
+        x = x_init
+        first = True
+        remaining = iters
+        rhs_ext = _extend_z(rhs, pz, H)  # rhs is chunk-invariant: one halo
+        while remaining > 0:
+            s = min(Kplan, remaining)
+            zi = zero_init and first
+            x_ext = rhs_ext if zi else _extend_z(x, pz, H)
+            x = p3.fused_jacobi3_slab(
+                b, x_ext, rhs_ext, flags, mz=mz, H=H, alpha=float(alpha),
+                beta=float(beta), sweeps=s, zero_init=zi, fast=fast,
+            )
+            first = False
+            remaining -= s
+        return x
+
+    def advect(b, d0, uu, vv, ww, d0_complete=False):
+        if not d0_complete:
+            # Gather sources include ghost edges/corners; slab-kernel
+            # outputs carry faces only.
+            d0 = _apply_bnd3_direct(b, d0, is_top, is_bot)
+        ext = _extend_z(d0, pz, cmax + 1)
+        out = p3.advect3_flat_slab(ext, uu, vv, ww, flags, dt=dtim, n=n,
+                                   cmax=cmax, mz=mz)
+        # Raw ghost from the kernel; the next consumer is a face-reading
+        # stencil or the final state — derive the full layer.
+        return _apply_bnd3_direct(b, out, is_top, is_bot)
+
+    def project(u, v, w):
+        div = _divergence3_fast(u, v, w, n, pz, is_top, is_bot)
+        p = diffuse(0, None, div, 1.0, 6.0, it, zero_init=True)
+        return _gradient3_fast(u, v, w, p, n, pz, is_top, is_bot)
+
+    dt_c = jnp.asarray(dtim, state.u.dtype)
+    u = state.u + dt_c * src.u
+    v = state.v + dt_c * src.v
+    w = state.w + dt_c * src.w
+    alpha = cfg.diffusion_alpha_visc
+    beta = 1.0 + 6.0 * alpha
+    u = diffuse(1, src.u, u, alpha, beta, it)
+    v = diffuse(2, src.v, v, alpha, beta, it)
+    w = diffuse(3, src.w, w, alpha, beta, it)
+    u, v, w = project(u, v, w)
+    d_vel = _disp3_global(u, v, w, dtim * n) if audited else None
+    u0, v0, w0 = u, v, w
+    u = advect(1, u0, u0, v0, w0, d0_complete=True)
+    v = advect(2, v0, u0, v0, w0, d0_complete=True)
+    w = advect(3, w0, u0, v0, w0, d0_complete=True)
+    u, v, w = project(u, v, w)
+    d_dens = _disp3_global(u, v, w, dtim * n) if audited else None
+
+    dens = state.dens + dt_c * src.dens
+    alpha = cfg.diffusion_alpha_diff
+    beta = 1.0 + 6.0 * alpha
+    dens = diffuse(0, src.dens, dens, alpha, beta, it)
+    dens = advect(0, dens, u, v, w)
+    out = FluidState(dens=dens, u=u, v=v, w=w)
+    if audited:
+        return out, jnp.maximum(d_vel, d_dens)
+    return out
+
+
 def make_sharded_step_fn_3d(
     cfg: SimConfig, mesh: Mesh, *, advect_mode: str = "auto",
-    audited: bool = False,
+    shard_backend: str = "auto", audited: bool = False,
 ) -> Callable[[FluidState, Sources], FluidState]:
     """A jitted multi-chip 3-D step over z-slabs.
 
@@ -464,15 +646,45 @@ def make_sharded_step_fn_3d(
             f"advect_mode='exact' or a coarser mesh."
         )
 
+    if shard_backend not in ("auto", "reference", "pallas"):
+        raise ValueError(f"unknown shard_backend {shard_backend!r}")
+    use_pallas = False
+    if shard_backend != "reference":
+        from ..kernels import pallas_sharded_3d as p3
+
+        viable = (
+            cfg.dtype == jnp.float32
+            and advect_mode == "windowed"
+            and p3.slab3_supported(mz, side, cfg.max_courant)
+        )
+        if shard_backend == "pallas":
+            if not viable:
+                raise ValueError(
+                    "shard_backend='pallas' (3-D) needs float32, windowed "
+                    f"advection and viable slab plans; got mz={mz}, "
+                    f"side={side}, cmax={cfg.max_courant}, "
+                    f"advect_mode={advect_mode}"
+                )
+            use_pallas = True
+        else:  # auto: pallas when the single-chip backend asks for it
+            use_pallas = viable and cfg.backend == "pallas"
+
     spec = P("z")
     state_specs = FluidState(dens=spec, u=spec, v=spec, w=spec)
     src_specs = Sources(dens=spec, u=spec, v=spec, w=spec)
     out_specs = (state_specs, P()) if audited else state_specs
 
-    local = functools.partial(_step3_local, cfg, pz, advect_mode, audited)
+    if use_pallas:
+        local = functools.partial(_step3_local_pallas, cfg, pz, audited)
+    else:
+        local = functools.partial(_step3_local, cfg, pz, advect_mode,
+                                  audited)
     sharded = jax.shard_map(
         local, mesh=zmesh, in_specs=(state_specs, src_specs),
         out_specs=out_specs,
+        # pallas_call outputs carry no varying-mesh-axes metadata (cf. the
+        # 2-D factory).
+        check_vma=not use_pallas,
     )
     jitted = jax.jit(sharded)
 
@@ -480,6 +692,7 @@ def make_sharded_step_fn_3d(
         return jitted(state, src)
 
     step_fn.advect_mode = advect_mode
+    step_fn.shard_backend = "pallas" if use_pallas else "reference"
     step_fn.mesh = zmesh
     return step_fn
 
