@@ -103,6 +103,13 @@ class SimConfig:
             raise ValueError(f"unknown advect_mode {self.advect_mode!r}")
         if self.ndim not in (2, 3):
             raise ValueError("ndim must be 2 or 3")
+        if self.ndim == 3 and self.pressure_solver != "jacobi":
+            # The 3-D model is Jacobi-only; silently ignoring the knob
+            # would misreport the numerics actually run.
+            raise ValueError(
+                "pressure_solver='multigrid'/'cg' are 2-D solvers; "
+                "ndim=3 supports 'jacobi' only"
+            )
 
     @property
     def grid_shape(self) -> Tuple[int, ...]:
