@@ -530,20 +530,24 @@ def _dens_slab_tm(m: int, side: int, K: int) -> int | None:
     # (6*wr + 8*tm + 16 rows) undercounts this kernel's compiled footprint
     # ~2x (measured 66.13M scoped vs 32.6M estimated at tm=256/side=2048 —
     # the SPMD wall-BC/corner predication keeps more window-sized values
-    # live through the gather chain), so the row weights are doubled to
-    # match the measured allocation against the 64MB per-kernel cap.
+    # live through the gather chain), so the row weights are doubled and
+    # checked against the RAISED 80MB cap this kernel compiles with
+    # (96MB scratch verified on this part; tm=256 at 2048² compiles at
+    # 66.1M and beats tm=128's 1.5x margin redundancy).
     for cand in (256, 128, 64, 32, 16, 8):
         wr = cand + 2 * K
         if (
             m % cand == 0
             and cand >= 2 * K
-            and (12 * wr + 16 * cand + 32) * side * 4
-            <= pallas_ops._SWEEP_BUDGET
+            and (12 * wr + 16 * cand + 32) * side * 4 <= _DENS_SLAB_CAP - 8 * 2**20
         ):
             return cand
     if _interpret():
         return m
     return None
+
+
+_DENS_SLAB_CAP = 80 * 2**20
 
 
 def dens_slab_supported(m: int, side: int, iters: int, cmax: int) -> bool:
@@ -810,7 +814,7 @@ def fused_dens_slab(b, src_ext, base_ext, u_slab, v_slab, flags, *,
         ],
         interpret=_interpret(),
         compiler_params=None if _interpret() else pltpu.CompilerParams(
-            vmem_limit_bytes=pallas_ops._SWEEP_KERNEL_CAP
+            vmem_limit_bytes=_DENS_SLAB_CAP
         ),
     )(flags, src_ext, base_ext, u_slab, v_slab)
 
