@@ -44,6 +44,8 @@ from .pallas_ops import (
 __all__ = [
     "slab_supported",
     "fused_jacobi_slab",
+    "fused_jacobi_slab_split",
+    "jacobi_slab_split_viable",
     "fused_project_slab",
     "project_slab_supported",
     "project_slab_margin",
@@ -307,6 +309,217 @@ def fused_jacobi_slab(
             vmem_limit_bytes=pallas_ops._SWEEP_KERNEL_CAP
         ),
     )(flags, x_ext, rhs_ext)
+
+
+# ---------------------------------------------------------------------------
+# Split-operand Jacobi slab: halos as separate refs, no ext concat
+# ---------------------------------------------------------------------------
+
+
+def jacobi_slab_split_viable(m: int, side: int, K: int) -> bool:
+    """The 3-piece window DMA needs tm >= K (only the first/last strips
+    then touch the halo refs)."""
+    tm = _slab_tm(m, side, K)
+    return tm is not None and tm >= K
+
+
+def _jacobi_slab_split_kernel(
+    flags_ref, x_top, x_hbm, x_bot, rhs_top, rhs_hbm, rhs_bot,
+    out_ref, xs2, rhs2, buf_b, buf_c, sems,
+    *, b: int, alpha: float, beta: float, sweeps: int,
+    tm: int, wr: int, side: int, K: int, m: int, zero_init: bool,
+    nstrips: int, fast: bool,
+):
+    """``_jacobi_slab_kernel`` with the halo-extended operand REPLACED by
+    (top, slab, bottom) refs: the jnp-level ``concatenate`` that assembled
+    the extended slab materialized a full HBM copy per solve (the
+    round-3-measured residual of the sharded path).  Each strip's window
+    is three fixed-size DMAs — K | tm | K rows — whose K-row pieces come
+    from the halo refs on the first/last strip (``pl.when``-selected
+    source, unconditional wait: both variants move identical bytes on the
+    same semaphore).  Requires tm >= K so interior strips never touch the
+    halo refs."""
+    gi = pl.program_id(0)
+    slot = jax.lax.rem(gi, 2)
+
+    def start_dmas(gi_, slot_):
+        start_ = pl.multiple_of(gi_ * tm, 8)
+        ops = [(rhs_top, rhs_hbm, rhs_bot, rhs2, 0)]
+        if not zero_init:
+            ops.append((x_top, x_hbm, x_bot, xs2, 1))
+        for top, slab, bot, buf2, oi in ops:
+            # P2: center tm rows, always from the slab.
+            pltpu.make_async_copy(
+                slab.at[pl.ds(start_, tm)],
+                buf2.at[slot_, pl.ds(K, tm)],
+                sems.at[slot_, oi, 1],
+            ).start()
+
+            # P1: leading K rows.
+            @pl.when(gi_ == 0)
+            def _(top=top, buf2=buf2, oi=oi):
+                pltpu.make_async_copy(
+                    top, buf2.at[slot_, pl.ds(0, K)], sems.at[slot_, oi, 0]
+                ).start()
+
+            @pl.when(gi_ > 0)
+            def _(slab=slab, buf2=buf2, oi=oi, start_=start_):
+                pltpu.make_async_copy(
+                    slab.at[pl.ds(pl.multiple_of(start_ - K, 8), K)],
+                    buf2.at[slot_, pl.ds(0, K)], sems.at[slot_, oi, 0],
+                ).start()
+
+            # P3: trailing K rows.
+            @pl.when(gi_ == nstrips - 1)
+            def _(bot=bot, buf2=buf2, oi=oi):
+                pltpu.make_async_copy(
+                    bot, buf2.at[slot_, pl.ds(K + tm, K)],
+                    sems.at[slot_, oi, 2],
+                ).start()
+
+            @pl.when(gi_ < nstrips - 1)
+            def _(slab=slab, buf2=buf2, oi=oi, start_=start_):
+                pltpu.make_async_copy(
+                    slab.at[pl.ds(pl.multiple_of(start_ + tm, 8), K)],
+                    buf2.at[slot_, pl.ds(K + tm, K)],
+                    sems.at[slot_, oi, 2],
+                ).start()
+
+    def wait_dmas(slot_):
+        ops = [(rhs_top, rhs_hbm, rhs2, 0)]
+        if not zero_init:
+            ops.append((x_top, x_hbm, xs2, 1))
+        for top, slab, buf2, oi in ops:
+            # Waits keyed on (sem, byte count) — source choice irrelevant.
+            pltpu.make_async_copy(
+                top, buf2.at[slot_, pl.ds(0, K)], sems.at[slot_, oi, 0]
+            ).wait()
+            pltpu.make_async_copy(
+                slab.at[pl.ds(0, tm)], buf2.at[slot_, pl.ds(K, tm)],
+                sems.at[slot_, oi, 1],
+            ).wait()
+            pltpu.make_async_copy(
+                top, buf2.at[slot_, pl.ds(K + tm, K)],
+                sems.at[slot_, oi, 2],
+            ).wait()
+
+    @pl.when(gi == 0)
+    def _():
+        start_dmas(gi, slot)
+
+    @pl.when(gi + 1 < nstrips)
+    def _():
+        start_dmas(gi + 1, jax.lax.rem(gi + 1, 2))
+
+    wait_dmas(slot)
+
+    is_top = flags_ref[0] == 1
+    is_bot = flags_ref[1] == 1
+    start = gi * tm
+    dt = buf_b.dtype
+    if zero_init:
+        buf_c[:] = jnp.zeros((wr, side), dt)
+    else:
+        buf_c[:] = xs2[slot]
+    rhs_buf = rhs2.at[slot]
+    if fast:
+        rhs_buf[:] = rhs_buf[:] * jnp.asarray(1.0 / beta, dt)
+    a_c = jnp.asarray(alpha, dt)
+    ab_c = jnp.asarray(alpha / beta, dt)
+    b_c = jnp.asarray(beta, dt)
+    sxf, syf = _signs(b)
+    sx = jnp.asarray(sxf, dt)
+    sy = jnp.asarray(syf, dt)
+    gtop = K
+    gbot = K + m - 1
+
+    def sweep(src, dst):
+        s = src[:]
+        sL = pltpu.roll(s, 1, 1)
+        sR = pltpu.roll(s, side - 1, 1)
+        sU = pltpu.roll(s, 1, 0)
+        sD = pltpu.roll(s, wr - 1, 0)
+        neigh = ((sL + sR) + sU) + sD
+        if fast:
+            dst[:] = rhs_buf[:] + ab_c * neigh
+        else:
+            dst[:] = (rhs_buf[:] + a_c * neigh) / b_c
+        _slab_window_bc(dst, sx, sy, start, wr, side, is_top, is_bot,
+                        gtop, gbot)
+
+    def double_sweep(_, carry):
+        sweep(buf_c, buf_b)
+        sweep(buf_b, buf_c)
+        return carry
+
+    jax.lax.fori_loop(0, sweeps // 2, double_sweep, 0)
+    if sweeps % 2:
+        sweep(buf_c, buf_b)
+        buf_c[:] = buf_b[:]
+
+    ob = out_ref
+    ob[:] = buf_c[pl.ds(K, tm), :]
+    _slab_corners(ob, gi, tm, side, nstrips, is_top, is_bot)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("b", "alpha", "beta", "sweeps", "m", "K", "zero_init",
+                     "fast"),
+)
+def fused_jacobi_slab_split(
+    b: int,
+    x: jnp.ndarray,
+    x_top: jnp.ndarray,
+    x_bot: jnp.ndarray,
+    rhs: jnp.ndarray,
+    rhs_top: jnp.ndarray,
+    rhs_bot: jnp.ndarray,
+    flags: jnp.ndarray,
+    *,
+    m: int,
+    K: int,
+    alpha: float,
+    beta: float,
+    sweeps: int,
+    zero_init: bool = False,
+    fast: bool = False,
+) -> jnp.ndarray:
+    """``fused_jacobi_slab`` taking (slab, top-halo, bottom-halo) operand
+    triples instead of pre-concatenated extended slabs.  Halos are (K,
+    side) arrays straight from the ppermute exchange."""
+    side = rhs.shape[-1]
+    assert rhs.shape == (m, side) and rhs_top.shape == (K, side)
+    assert K >= _ceil8(sweeps + 1) or _interpret()
+    tm = _slab_tm(m, side, K)
+    assert tm is not None and tm >= K, (tm, K)
+    wr = tm + 2 * K
+    nstrips = m // tm
+    kernel = functools.partial(
+        _jacobi_slab_split_kernel, b=b, alpha=float(alpha),
+        beta=float(beta), sweeps=sweeps, tm=tm, wr=wr, side=side, K=K, m=m,
+        zero_init=zero_init, nstrips=nstrips, fast=fast,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(nstrips,),
+        out_shape=jax.ShapeDtypeStruct((m, side), rhs.dtype),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
+        + [pl.BlockSpec(memory_space=pl.ANY)] * 6,
+        out_specs=pl.BlockSpec((tm, side), lambda gi: (gi, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, wr, side), rhs.dtype),
+            pltpu.VMEM((2, wr, side), rhs.dtype),
+            pltpu.VMEM((wr, side), rhs.dtype),
+            pltpu.VMEM((wr, side), rhs.dtype),
+            pltpu.SemaphoreType.DMA((2, 2, 3)),
+        ],
+        interpret=_interpret(),
+        compiler_params=None if _interpret() else pltpu.CompilerParams(
+            vmem_limit_bytes=pallas_ops._SWEEP_KERNEL_CAP
+        ),
+    )(flags, x_top, x, x_bot, rhs_top, rhs, rhs_bot)
 
 
 # ---------------------------------------------------------------------------

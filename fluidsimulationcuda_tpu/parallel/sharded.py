@@ -584,9 +584,17 @@ def _step_local_pallas(cfg: SimConfig, px: int, audited: bool,
             else:
                 xt, xb = _halo_rows(x, px, K)
                 x_ext = jnp.concatenate([xt, x, xb], axis=0)
+            # NOTE: a split-operand variant that skips these concats
+            # exists (ps.fused_jacobi_slab_split) and is bit-exact, but
+            # A/B on hardware measured NO gain (split 4.57/4.71 vs concat
+            # 4.67/4.45 ms/step at 2048²/1×1) — XLA's async scheduling
+            # already hides the ext-assembly copies behind compute, so the
+            # simpler concat path stays wired (same policy as the u+v
+            # pair kernel).
             x = ps.fused_jacobi_slab(
                 b, x_ext, rhs_ext, flags, m=m, K=K, alpha=float(alpha),
-                beta=float(beta), sweeps=s, zero_init=zi, fast=use_fast,
+                beta=float(beta), sweeps=s, zero_init=zi,
+                fast=use_fast,
             )
             first = False
             remaining -= s

@@ -58,6 +58,33 @@ def test_sharded_pallas_fused_matches_sharded_jnp():
         np.testing.assert_allclose(a, b, rtol=0, atol=2e-6, err_msg=name)
 
 
+def test_split_jacobi_slab_matches_concat():
+    # The split-operand kernel (capability, not wired — measured no gain
+    # on hardware, see parallel/sharded.py note) must stay bit-identical
+    # to the concat path.
+    import jax.numpy as jnp
+
+    m, side, K, s = 32, 128, 16, 6
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.uniform(-1, 1, (m, side)), jnp.float32)
+    rhs = jnp.asarray(rng.uniform(-1, 1, (m, side)), jnp.float32)
+    xt = jnp.asarray(rng.uniform(-1, 1, (K, side)), jnp.float32)
+    xb = jnp.asarray(rng.uniform(-1, 1, (K, side)), jnp.float32)
+    rt = jnp.asarray(rng.uniform(-1, 1, (K, side)), jnp.float32)
+    rb = jnp.asarray(rng.uniform(-1, 1, (K, side)), jnp.float32)
+    flags = jnp.array([1, 1, 0], jnp.int32)
+    a = ps.fused_jacobi_slab_split(
+        1, x, xt, xb, rhs, rt, rb, flags, m=m, K=K, alpha=0.2, beta=1.8,
+        sweeps=s,
+    )
+    bx = jnp.concatenate([xt, x, xb], axis=0)
+    br = jnp.concatenate([rt, rhs, rb], axis=0)
+    c = ps.fused_jacobi_slab(
+        1, bx, br, flags, m=m, K=K, alpha=0.2, beta=1.8, sweeps=s,
+    )
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(c))
+
+
 @pytest.mark.slow
 def test_fused_project_slab_matches_composition():
     # Direct kernel differential: fused projection vs the composed
