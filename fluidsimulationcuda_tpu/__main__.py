@@ -101,6 +101,11 @@ def cmd_run(args) -> None:
     dmax = max((float(d) for d in disps), default=0.0)
     verdict = ("exact" if dmax < cfg.max_courant
                else "CLAMPED — rerun with a higher --cmax")
+    # Perf hint: the gather cost is (2C+1)^ndim terms, so an oversized
+    # window is pure waste — tell the user the smallest exact one.
+    smallest = max(1, int(np.ceil(dmax + 0.25)))
+    if dmax < cfg.max_courant and smallest < cfg.max_courant:
+        verdict += f"; smallest exact window: --cmax {smallest}"
     # The stability check the reference stubbed out and never wrote
     # (FluidSequential.c:309) — finite fields + window fit of the FINAL
     # state (the per-step audit above covers the trajectory).

@@ -31,11 +31,30 @@ def reference_square(key: jax.Array, cfg: SimConfig):
 
 def plume(key: jax.Array, cfg: SimConfig):
     """Continuous bottom-center dye inflow with upward velocity — a smoke
-    plume (needs ``sources_every_step=True``)."""
+    plume (needs ``sources_every_step=True``).  Works in 2-D and 3-D (the
+    smoke-volume demo for BASELINE config 5): the nozzle becomes a
+    cylinder, y stays the vertical axis (row 0 = top, like 2-D)."""
     side = cfg.n + 2
-    ii, jj = _coords(cfg)
     cx = side / 2.0
     r = side / 16.0
+    if cfg.ndim == 3:
+        c = jnp.arange(side, dtype=cfg.dtype)
+        zz = c[:, None, None]
+        yy = c[None, :, None]
+        xx = c[None, None, :]
+        nozzle = (
+            ((xx - cx) ** 2 + (zz - cx) ** 2 < r**2)
+            & (yy > side - side // 8)
+        )
+        dens = jnp.where(nozzle, 2.0, 0.0).astype(cfg.dtype)
+        v = jnp.where(nozzle, -3.0, 0.0).astype(cfg.dtype)  # upward
+        ku, kw = jax.random.split(key)
+        u = jnp.where(nozzle, 0.3 * jax.random.normal(ku, nozzle.shape,
+                                                      cfg.dtype), 0.0)
+        w = jnp.where(nozzle, 0.3 * jax.random.normal(kw, nozzle.shape,
+                                                      cfg.dtype), 0.0)
+        return zero_state(cfg), Sources(dens=dens, u=u, v=v, w=w), True
+    ii, jj = _coords(cfg)
     nozzle = ((jj - cx) ** 2 < r**2) & (ii > side - side // 8)
     dens = jnp.where(nozzle, 2.0, 0.0).astype(cfg.dtype)
     v = jnp.where(nozzle, -3.0, 0.0).astype(cfg.dtype)  # upward (row 0 = top)
@@ -45,7 +64,11 @@ def plume(key: jax.Array, cfg: SimConfig):
 
 
 def vortex_pair(key: jax.Array, cfg: SimConfig):
-    """Two counter-rotating vortices advecting a dye stripe (impulse)."""
+    """Two counter-rotating vortices advecting a dye stripe (impulse).
+    2-D only."""
+    if cfg.ndim != 2:
+        raise ValueError("scenario 'vortex-pair' is 2-D only; "
+                         "use 'plume' or 'reference' for ndim=3")
     side = cfg.n + 2
     ii, jj = _coords(cfg)
     y = (ii - side / 2.0) / side
@@ -66,7 +89,11 @@ def vortex_pair(key: jax.Array, cfg: SimConfig):
 
 
 def opposing_jets(key: jax.Array, cfg: SimConfig):
-    """Left and right inflow jets colliding at the center (continuous)."""
+    """Left and right inflow jets colliding at the center (continuous).
+    2-D only."""
+    if cfg.ndim != 2:
+        raise ValueError("scenario 'jets' is 2-D only; "
+                         "use 'plume' or 'reference' for ndim=3")
     side = cfg.n + 2
     ii, jj = _coords(cfg)
     band = jnp.abs(ii - side / 2.0) < side / 24.0

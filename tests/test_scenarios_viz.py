@@ -24,6 +24,26 @@ def test_scenarios_run_stable(name):
         assert d.max() > 0  # dye actually entered the domain
 
 
+def test_plume_3d_runs_stable():
+    from fluidsimulationcuda_tpu.models.stable_fluids_3d import make_step_fn_3d
+
+    cfg = SimConfig(n=14, ndim=3, jacobi_iters=4, backend="reference")
+    state, sources, continuous = SCENARIOS["plume"](jax.random.key(0), cfg)
+    assert continuous and state.dens.ndim == 3 and sources.w is not None
+    step = make_step_fn_3d(cfg)
+    for _ in range(5):
+        state = step(state, sources)
+    d = np.asarray(state.dens)
+    assert np.isfinite(d).all() and d.max() > 0
+
+
+def test_2d_only_scenarios_reject_ndim3():
+    cfg = SimConfig(n=14, ndim=3, jacobi_iters=4)
+    for name in ("vortex-pair", "jets"):
+        with pytest.raises(ValueError, match="2-D only"):
+            SCENARIOS[name](jax.random.key(0), cfg)
+
+
 @pytest.mark.slow
 def test_png_render(tmp_path):
     cfg = SimConfig(n=30, jacobi_iters=6, backend="reference")
