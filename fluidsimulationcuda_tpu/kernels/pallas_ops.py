@@ -408,6 +408,16 @@ def fused_jacobi(
         vmem_margin = ((_SWEEP_BUDGET // (side * 4) - 8 * tm) // 12) // st * st
         margin_cap = min(margin_cap, max(vmem_margin, st))
         max_fused = max(1, min(max_fused, margin_cap - 1))
+    if src_dt is not None and iters > max_fused:
+        # The in-kernel source fold only reaches the FIRST chunk's rhs;
+        # chained chunks would sweep against a rhs missing dt*src (caught
+        # as a 4e-2 divergence at 12 iters / max_fused=5).  Materialize the
+        # rhs once instead — same arithmetic, one extra XLA pass, correct
+        # for every chunk.  Callers can't gate this themselves: the VMEM
+        # margin clamp above can shrink max_fused below their request
+        # (8192² clamps 20 -> 7).
+        x0 = x0 + jnp.asarray(src_dt, x0.dtype) * x
+        src_dt = None
     while remaining > 0:
         k = min(remaining, max_fused)
         x = _fused_jacobi_call(

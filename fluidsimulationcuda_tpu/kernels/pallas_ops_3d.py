@@ -108,11 +108,19 @@ def supports3(side: int) -> bool:
 
 
 def _jacobi3_kernel(
-    x_hbm, rhs_hbm, out_ref, xs2, rhs2, buf_b, buf_c, sems,
-    *, b: int, alpha: float, beta: float, sweeps: int,
+    x_hbm, rhs_hbm, out_ref, *scratch,
+    b: int, alpha: float, beta: float, sweeps: int,
     tz: int, wz: int, side: int, zero_init: bool, zm: int, nstrips: int,
     fast: bool,
 ):
+    # zero_init drops the x-input window pair (the guess is zeros): the
+    # freed planes let the planner buy larger tz (less redundant sweep
+    # compute — the pressure solves are 40% of the step's sweeps).
+    if zero_init:
+        rhs2, buf_b, buf_c, sems = scratch
+        xs2 = None
+    else:
+        xs2, rhs2, buf_b, buf_c, sems = scratch
     gi = pl.program_id(0)
     slot = jax.lax.rem(gi, 2)
 
@@ -315,19 +323,30 @@ def _fused_jacobi3_call(b, x, x0, alpha, beta, sweeps, tz, side, zero_init,
         ],
         out_specs=pl.BlockSpec((tz, side, side), lambda gi: (gi, 0, 0),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[
-            pltpu.VMEM((2, wz, side, side), x0.dtype),
+        scratch_shapes=(
+            [] if zero_init else [pltpu.VMEM((2, wz, side, side), x0.dtype)]
+        )
+        + [
             pltpu.VMEM((2, wz, side, side), x0.dtype),
             pltpu.VMEM((wz, side, side), x0.dtype),
             pltpu.VMEM((wz, side, side), x0.dtype),
             pltpu.SemaphoreType.DMA((2, 2)),
         ],
         interpret=_interpret(),
-        # 256^3: the 34MB sweep-window budget plus the out double-buffer and
-        # Mosaic stack measured 49.3MB scoped — above the default 48MB cap
-        # (compile error, caught on hardware), well under the verified 96MB.
+        # Scoped cap sized from the actual plan (buffers + Pallas's 2x out
+        # block) plus Mosaic stack headroom; 96MB is hardware-verified.
+        # Round 2 learned the hard way that a fixed cap bites twice: too
+        # low is a compile error, too high hides planner overruns.
+        # Headroom above the raw buffer planes: tz=8/K=5 at 256³ measured
+        # 49.3MB scoped against 34MB of planned buffers — Mosaic stack +
+        # sweep temporaries cost ~15MB; 24MB keeps margin without hiding
+        # planner overruns.
         compiler_params=None if _interpret() else pltpu.CompilerParams(
-            vmem_limit_bytes=64 * 2**20
+            vmem_limit_bytes=min(
+                96 * 2**20,
+                ((4 if zero_init else 6) * wz + 2 * tz)
+                * _plane_bytes(side) + 24 * 2**20,
+            )
         ),
     )(x, x0)
 

@@ -70,6 +70,22 @@ def test_fused_jacobi_multi_roundtrip(strip_mode):
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), **TOL)
 
 
+def test_fused_jacobi_src_fold_chained(strip_mode):
+    """src_dt with iters > max_fused: every chunk's rhs must carry dt*src.
+    Regression — the in-kernel fold only reaches the first chunk, so
+    chained calls must materialize the rhs instead (the VMEM margin clamp
+    can force chaining below the caller's max_fused request, e.g. 20 -> 7
+    at 8192²; sweeps 8-20 then ran against an rhs missing the source)."""
+    side = 64
+    src, base = _grid(40, side, 0.5), _grid(41, side)
+    dt = 0.016
+    rhs = base + jnp.float32(dt) * src
+    want = pallas_ops.fused_jacobi(1, src, rhs, 0.1, 1.4, 12, max_fused=20)
+    got = pallas_ops.fused_jacobi(1, src, base, 0.1, 1.4, 12, max_fused=5,
+                                  src_dt=dt)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
 def test_pressure_solve_zero_init(strip_mode):
     side = 32
     div = _grid(6, side, 0.01)
