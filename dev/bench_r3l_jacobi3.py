@@ -70,19 +70,25 @@ def main():
         for tz in (8, 16, 32, 64):
             if side % tz:
                 continue
-            for K in (1, 2, 3, 5, 8, 10):
+            for K in (1, 2, 3, 4, 5, 8, 10):
                 if K > iters:
                     continue
                 wz = tz + 2 * (K + 1)
                 if wz > side:
                     continue
                 bufs = (nb * wz + 2 * tz) * pb
-                mb = min(bufs + 24, 96)
-                if bufs + 15 > 96:  # definitely over the verified ceiling
+                # calibrated need model: bufs + ~1.25*K*wz Mosaic sweep
+                # temporaries (fit to the 256^3 pass/fail boundary)
+                need = bufs + 1.25 * K * wz * pb + 4
+                mb = min(need, 96)
+                if need > 96:  # over the verified ceiling
+                    print(f"tz={tz:3d} K={K:2d} wz={wz:3d} SKIP "
+                          f"(need~{need:.0f}MB)")
                     continue
                 try:
-                    fn = jax.jit(lambda a, b, tz=tz, K=K: chained(
-                        1, a, b, 0.1, 1.6, iters, tz, K, side, zero_init))
+                    fn = jax.jit(
+                        lambda a, b, tz=tz, K=K, zi=zero_init: chained(
+                            1, a, b, 0.1, 1.6, iters, tz, K, side, zi))
                     out = fn(x, rhs)
                     if ref is None:
                         ref = out

@@ -63,35 +63,60 @@ def _plane_bytes(side: int) -> int:
     return side * side * 4
 
 
-_SWEEP3_BUDGET = 34 * 2**20  # sweep windows only; the 48MB scoped cap
-#                              (_cparams) leaves stack headroom above this.
+_VMEM3_CEIL = 96 * 2**20  # hardware-verified scoped ceiling (round 2)
+
+# Calibrated on the 256³ hardware probe (dev/bench_r3l_jacobi3.py):
+# measured cost tracks compute redundancy wz/tz (every window re-sweeps
+# wz planes for tz output planes) plus a DMA term (nin·wz read + tz
+# written, amortized over tz·K output-plane-sweeps) at ratio ≈ 0.62.
+# The round-2 planner minimized ONLY the DMA metric wz/(tz·K) and picked
+# tz=8/K=5 (270 µs/sweep, 2.5× redundancy); the probe's winner under
+# this model is tz=16/K=3 (173 µs/sweep, 1.5× redundancy) — the sweep is
+# compute-bound, so redundancy dominates once DMA is ~amortized.
+_JAC3_DMA_WEIGHT = 0.62
+
+
+def _jacobi3_need_hw(tz: int, wz: int, sweeps: int, side: int,
+                     nin: int) -> int:
+    """Modeled scoped-VMEM bytes for a sweep kernel with window ``wz``
+    running ``sweeps`` fused sweeps: the planned buffers (nin
+    double-buffered input windows + ping-pong sweep pair + Pallas's 2×
+    out block) plus Mosaic sweep temporaries ≈ 1.25·sweeps·wz planes —
+    fit to the 256³ compile pass/fail boundary (tz16/K3 passes at 68MB
+    cap, tz16/K5 fails at 74.5, tz32/K1 passes, tz32/K2 fails at 96)."""
+    pb = _plane_bytes(side)
+    bufs = ((2 * nin + 2) * wz + 2 * tz) * pb
+    # Affine temps model: a pure slope underfeeds mid-K (256³: tz16/s3
+    # fails at a 70.5MB cap, passes at 76) while a pure flat headroom
+    # underfeeds high-K (tz8/K5 needs >58).  16MB base + 1.25·K·wz
+    # planes covers every measured pass/fail point with margin.
+    temps = 16 * 2**20 + (5 * sweeps * wz * pb) // 4
+    return bufs + temps
+
+
+def _jacobi3_need(tz: int, K: int, side: int, nin: int) -> int:
+    return _jacobi3_need_hw(tz, tz + 2 * (K + 1), K, side, nin)
 
 
 def _jacobi3_plan(side: int, max_fused: int):
-    """(tz, K): z-strip height and sweeps per HBM round-trip such that the
-    6-buffer working set fits the sweep budget, minimizing redundant sweep
-    work per output plane: cost ∝ wz / (tz * K) (every window re-sweeps
-    its full wz planes, amortized over tz output planes and K fused
-    sweeps).  Round-2 planned against the conservative 11MB gather budget,
-    which at 256³ forced 2-plane strips with 11x redundancy — the sweep
-    kernel's stack is small, so it sizes against its own budget like the
-    2-D kernels do.  Returns (None, None) if impossible."""
-    pb = _plane_bytes(side)
-    budget_planes = _SWEEP3_BUDGET // pb
+    """(tz, K): z-strip height and sweeps per HBM round-trip minimizing
+    the calibrated cost wz/tz + 0.62·(2·wz + tz)/(tz·K) over plans whose
+    modeled VMEM need fits the verified 96MB ceiling.  tz is capped at
+    16: tz=32 measured SLOWER despite the lowest redundancy (325.7 vs
+    173.2 µs/sweep at 256³ — too few strips to keep the DMA pipeline
+    full).  Returns (None, None) if impossible."""
     best = None
     best_cost = None
-    for tz in (32, 16, 8, 4, 2, 1):
+    for tz in (16, 8, 4, 2, 1):
         if side % tz:
             continue
-        # 6 windows (2x2 double-buffered in + 2 ping-pong) of wz planes
-        # + 1 out block of tz planes.
         for K in range(max_fused, 0, -1):
             wz = tz + 2 * (K + 1)
-            if wz <= side and 6 * wz + tz <= budget_planes:
-                cost = wz / (tz * K)
-                if best is None or cost < best_cost:
-                    best, best_cost = (tz, K), cost
-                break
+            if wz > side or _jacobi3_need(tz, K, side, 2) > _VMEM3_CEIL:
+                continue
+            cost = wz / tz + _JAC3_DMA_WEIGHT * (2 * wz + tz) / (tz * K)
+            if best is None or cost < best_cost:
+                best, best_cost = (tz, K), cost
     return best if best is not None else (None, None)
 
 
@@ -113,14 +138,13 @@ def _jacobi3_kernel(
     tz: int, wz: int, side: int, zero_init: bool, zm: int, nstrips: int,
     fast: bool,
 ):
-    # zero_init drops the x-input window pair (the guess is zeros): the
-    # freed planes let the planner buy larger tz (less redundant sweep
-    # compute — the pressure solves are 40% of the step's sweeps).
-    if zero_init:
-        rhs2, buf_b, buf_c, sems = scratch
-        xs2 = None
-    else:
-        xs2, rhs2, buf_b, buf_c, sems = scratch
+    # zero_init skips the x-input DMA stream (the guess is zeros).  The
+    # xs2 scratch stays ALLOCATED either way: dropping it was probed and
+    # reverted — the binding VMEM constraint is Mosaic sweep temporaries,
+    # not buffer planes, and the reduced-scratch variant compiled
+    # erratically (256³ probe: zi K=2,3 fail where K=4,5 pass) while the
+    # full-scratch layout tracks the calibrated need model.
+    xs2, rhs2, buf_b, buf_c, sems = scratch
     gi = pl.program_id(0)
     slot = jax.lax.rem(gi, 2)
 
@@ -323,29 +347,22 @@ def _fused_jacobi3_call(b, x, x0, alpha, beta, sweeps, tz, side, zero_init,
         ],
         out_specs=pl.BlockSpec((tz, side, side), lambda gi: (gi, 0, 0),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=(
-            [] if zero_init else [pltpu.VMEM((2, wz, side, side), x0.dtype)]
-        )
-        + [
+        scratch_shapes=[
+            pltpu.VMEM((2, wz, side, side), x0.dtype),
             pltpu.VMEM((2, wz, side, side), x0.dtype),
             pltpu.VMEM((wz, side, side), x0.dtype),
             pltpu.VMEM((wz, side, side), x0.dtype),
             pltpu.SemaphoreType.DMA((2, 2)),
         ],
         interpret=_interpret(),
-        # Scoped cap sized from the actual plan (buffers + Pallas's 2x out
-        # block) plus Mosaic stack headroom; 96MB is hardware-verified.
-        # Round 2 learned the hard way that a fixed cap bites twice: too
-        # low is a compile error, too high hides planner overruns.
-        # Headroom above the raw buffer planes: tz=8/K=5 at 256³ measured
-        # 49.3MB scoped against 34MB of planned buffers — Mosaic stack +
-        # sweep temporaries cost ~15MB; 24MB keeps margin without hiding
-        # planner overruns.
+        # Scoped cap from the calibrated need model (buffers + Mosaic
+        # sweep temporaries).  Round 2 learned that a fixed cap bites
+        # twice: too low is a compile error, too high hides planner
+        # overruns — so the cap tracks the same model the planner gates
+        # viability on, clamped to the hardware-verified 96MB ceiling.
         compiler_params=None if _interpret() else pltpu.CompilerParams(
             vmem_limit_bytes=min(
-                96 * 2**20,
-                ((4 if zero_init else 6) * wz + 2 * tz)
-                * _plane_bytes(side) + 24 * 2**20,
+                _VMEM3_CEIL, _jacobi3_need_hw(tz, wz, sweeps, side, 2)
             )
         ),
     )(x, x0)
@@ -572,24 +589,30 @@ def _advect3_call(bs, d0s, dt, n, cmax, self_adv, u, v, w):
 # per field.
 
 
+def _advect3_flat_need(side: int, tz: int, cmax: int) -> int:
+    """Modeled scoped-VMEM bytes for the flattened gather at strip height
+    ``tz``: rows of side-lane f32 (wbuf + win + 8 accumulators + ~6 live
+    (L+side)-row chain values + out block) times the measured compiled
+    inflation ~1.75× (tz=8 at 256³: 39.5MB raw rows, compiles at a 78MB
+    cap; tz=16: 75.6MB raw → >96MB, fails), plus 8MB stack headroom."""
+    C = cmax + 1
+    L = tz * side
+    W = (tz + 2 * C) * side
+    pad = _ceil8_3d(cmax + 1)
+    rows = (W + pad) + W + 8 * L + 6 * (L + side + 8) + 2 * L
+    return (7 * rows * side * 4) // 4 + 8 * 2**20
+
+
 def _advect3_flat_plan(side: int, cmax: int):
-    """z-strip height for the flattened gather, or None."""
+    """z-strip height for the flattened gather, or None.  tz=8 halves the
+    per-strip staging/backtrace overhead and cuts window redundancy 2.0 →
+    1.5 vs tz=4 — measured 9% faster at 256³, bit-exact."""
     if cmax > 2:  # (2C+1)³ unrolled select chain: compile-size gate
         return None
-    C = cmax + 1
     for tz in (8, 4, 2, 1):
         if side % tz:
             continue
-        L = tz * side
-        W = (tz + 2 * C) * side
-        pad = _ceil8_3d(cmax + 1)
-        # rows of side-lane f32: wbuf + win + 8 accumulators + ~6 live
-        # (L+side)-row chain values + out block.  The 30MB budget is
-        # calibrated against the measured compiled footprint (tz=8 at 256³
-        # estimated 39MB, compiled 66.5M — ~1.7x; tz=4 compiles at ~37M
-        # under the 64MB cap).
-        rows = (W + pad) + W + 8 * L + 6 * (L + side + 8) + 2 * L
-        if rows * side * 4 <= 30 * 2**20:
+        if _advect3_flat_need(side, tz, cmax) <= _VMEM3_CEIL:
             return tz
     return None
 
@@ -747,7 +770,9 @@ def _advect3_flat_call(d0, u, v, w, dt, n, cmax):
         + [pltpu.SemaphoreType.DMA],
         interpret=_interpret(),
         compiler_params=None if _interpret() else pltpu.CompilerParams(
-            vmem_limit_bytes=64 * 2**20
+            vmem_limit_bytes=min(
+                _VMEM3_CEIL, _advect3_flat_need(side, tz, cmax)
+            )
         ),
     )(d0, u, v, w)
 

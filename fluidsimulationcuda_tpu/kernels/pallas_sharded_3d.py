@@ -29,7 +29,9 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from . import pallas_ops
-from .pallas_ops_3d import _plane_bytes, _signs3, _SWEEP3_BUDGET
+from .pallas_ops_3d import (_advect3_flat_need, _jacobi3_need,
+                            _jacobi3_need_hw, _plane_bytes, _signs3,
+                            _JAC3_DMA_WEIGHT, _VMEM3_CEIL)
 
 __all__ = [
     "slab3_supported",
@@ -51,26 +53,26 @@ def _interpret() -> bool:
 
 def jacobi3_slab_plan(mz: int, side: int, max_fused: int):
     """(tz, K): strip height (planes) and sweeps per exchange, minimizing
-    redundant sweep work wz/(tz*K) under the sweep budget — the slab halo
-    depth is H = K + 1 planes (same margin accounting as the single-chip
-    ``_jacobi3_plan``), bounded by the slab itself (single-hop exchange).
-    Returns (None, None) if no viable plan."""
-    pb = _plane_bytes(side)
-    budget_planes = _SWEEP3_BUDGET // pb
+    the calibrated single-chip cost model (compute redundancy wz/tz plus
+    0.62× the DMA term — see ``_jacobi3_plan``; the slab kernel always
+    streams both windows, nin=2) over plans whose modeled VMEM need fits
+    the verified ceiling.  The slab halo depth is H = K + 1 planes,
+    bounded by the slab itself (single-hop exchange).  Returns
+    (None, None) if no viable plan."""
     best = None
     best_cost = None
-    for tz in (32, 16, 8, 4, 2, 1):
+    for tz in (16, 8, 4, 2, 1):
         if mz % tz:
             continue
         for K in range(max_fused, 0, -1):
             if K + 1 > mz:
                 continue
             wz = tz + 2 * (K + 1)
-            if 6 * wz + tz <= budget_planes:
-                cost = wz / (tz * K)
-                if best is None or cost < best_cost:
-                    best, best_cost = (tz, K), cost
-                break
+            if _jacobi3_need(tz, K, side, 2) > _VMEM3_CEIL:
+                continue
+            cost = wz / tz + _JAC3_DMA_WEIGHT * (2 * wz + tz) / (tz * K)
+            if best is None or cost < best_cost:
+                best, best_cost = (tz, K), cost
     return best if best is not None else (None, None)
 
 
@@ -258,10 +260,11 @@ def fused_jacobi3_slab(
     assert H >= sweeps + 1 or _interpret()
     # Strip height against the PASSED halo depth (the caller's chunk plan
     # fixes H; re-planning here could disagree on the last, shorter chunk).
-    budget_planes = _SWEEP3_BUDGET // _plane_bytes(side)
     tz = None
-    for cand in (32, 16, 8, 4, 2, 1):
-        if mz % cand == 0 and 6 * (cand + 2 * H) + cand <= budget_planes:
+    for cand in (16, 8, 4, 2, 1):
+        if (mz % cand == 0
+                and _jacobi3_need_hw(cand, cand + 2 * H, sweeps, side, 2)
+                <= _VMEM3_CEIL):
             tz = cand
             break
     if tz is None and _interpret():
@@ -294,7 +297,9 @@ def fused_jacobi3_slab(
         ],
         interpret=_interpret(),
         compiler_params=None if _interpret() else pltpu.CompilerParams(
-            vmem_limit_bytes=64 * 2**20
+            vmem_limit_bytes=min(
+                _VMEM3_CEIL, _jacobi3_need_hw(tz, wz, sweeps, side, 2)
+            )
         ),
     )(flags, x_ext, rhs_ext)
 
@@ -305,21 +310,17 @@ def fused_jacobi3_slab(
 
 
 def advect3_slab_plan(mz: int, side: int, cmax: int):
-    """Strip height for the flattened slab gather, or None (same budget
-    calibration as the single-chip ``_advect3_flat_plan``)."""
+    """Strip height for the flattened slab gather, or None (shares the
+    single-chip need model — measured compiled footprint ~1.75× the raw
+    row estimate, verified 96MB ceiling)."""
     if cmax > 2:
         return None
-    C = cmax + 1
-    if C > mz:
+    if cmax + 1 > mz:
         return None
     for tz in (8, 4, 2, 1):
         if mz % tz:
             continue
-        L = tz * side
-        W = (tz + 2 * C) * side
-        pad = (cmax + 8) // 8 * 8
-        rows = (W + pad) + W + 8 * L + 6 * (L + side + 8) + 2 * L
-        if rows * side * 4 <= 30 * 2**20:
+        if _advect3_flat_need(side, tz, cmax) <= _VMEM3_CEIL:
             return tz
     if _interpret():
         return mz
@@ -477,6 +478,8 @@ def advect3_flat_slab(d0_ext, u_slab, v_slab, w_slab, flags, *, dt, n,
         + [pltpu.SemaphoreType.DMA],
         interpret=_interpret(),
         compiler_params=None if _interpret() else pltpu.CompilerParams(
-            vmem_limit_bytes=64 * 2**20
+            vmem_limit_bytes=min(
+                _VMEM3_CEIL, _advect3_flat_need(side, tz, cmax)
+            )
         ),
     )(flags, d0_ext, u_slab, v_slab, w_slab)

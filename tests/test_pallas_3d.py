@@ -60,6 +60,31 @@ def test_jacobi3_zero_init_matches_pressure3(rng):
                                rtol=0, atol=1e-5)
 
 
+def test_jacobi3_plan_calibrated():
+    """The planner must keep the hardware-probed winners: tz=16/K=4 at
+    production sides (dev/bench_r3l_jacobi3.py, 256³: 202 µs/sweep vs the
+    round-2 DMA-metric plan's 270), every plan's modeled VMEM need inside
+    the verified 96MB ceiling, and tz capped at 16 (tz=32 measured 326
+    µs/sweep — too few strips to keep the DMA pipeline full)."""
+    from fluidsimulationcuda_tpu.kernels import pallas_ops_3d as k3
+    from fluidsimulationcuda_tpu.kernels import pallas_sharded_3d as p3
+
+    for side in (128, 192, 256):
+        tz, K = k3._jacobi3_plan(side, 10)
+        assert (tz, K) == (16, 4), (side, tz, K)
+        assert k3._jacobi3_need(tz, K, side, 2) <= k3._VMEM3_CEIL
+    # single-sweep callers still plan viably
+    tz, K = k3._jacobi3_plan(256, 1)
+    assert tz == 16 and K == 1
+    # slab twin on a production-shaped slab (256³ over 8 chips): the
+    # bigger 258-plane need tips K=4 just over the ceiling; K=3 at its
+    # ~83MB cap is inside the verified pass range (>=76MB compiles)
+    assert p3.jacobi3_slab_plan(32, 258, 20) == (16, 3)
+    # halo depth never exceeds the slab
+    tz, K = p3.jacobi3_slab_plan(4, 258, 20)
+    assert K + 1 <= 4
+
+
 def test_jacobi3_multi_chunk(rng):
     """iters > per-round-trip K forces chunking."""
     from fluidsimulationcuda_tpu.kernels import pallas_ops_3d as k3
