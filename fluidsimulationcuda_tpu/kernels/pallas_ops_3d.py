@@ -593,14 +593,19 @@ def _advect3_flat_need(side: int, tz: int, cmax: int) -> int:
     """Modeled scoped-VMEM bytes for the flattened gather at strip height
     ``tz``: rows of side-lane f32 (wbuf + win + 8 accumulators + ~6 live
     (L+side)-row chain values + out block) times the measured compiled
-    inflation ~1.75× (tz=8 at 256³: 39.5MB raw rows, compiles at a 78MB
-    cap; tz=16: 75.6MB raw → >96MB, fails), plus 8MB stack headroom."""
+    inflation, plus 8MB stack headroom.  Inflation is calibrated per
+    window width: ~1.75× at cmax≤1 (256³: tz=8 raw 39.5MB compiles at a
+    78MB cap; tz=16 raw 75.6MB fails >96MB) but ~2.5× at cmax=2 — the
+    125-term select chain's live ranges grow with the window (256³:
+    tz=8/cmax=2 raw 40.6MB FAILS even at 96MB; tz=4/cmax=2 raw 22.6MB
+    compiles under the old 64MB cap)."""
     C = cmax + 1
     L = tz * side
     W = (tz + 2 * C) * side
     pad = _ceil8_3d(cmax + 1)
     rows = (W + pad) + W + 8 * L + 6 * (L + side + 8) + 2 * L
-    return (7 * rows * side * 4) // 4 + 8 * 2**20
+    num, den = (7, 4) if cmax <= 1 else (5, 2)
+    return (num * rows * side * 4) // den + 8 * 2**20
 
 
 def _advect3_flat_plan(side: int, cmax: int):
