@@ -54,6 +54,7 @@ def _run_pair(cfg, mesh, steps=2, advect_mode="exact", audited=False):
     return ref, sh, disps
 
 
+@pytest.mark.slow
 def test_exact_mode_parity_small():
     # Quick-tier seam check: 16^3 on 8 shards = 2 planes per shard, the
     # minimum legal slab — every z seam and both wall shards exercised.
@@ -93,6 +94,7 @@ def test_windowed_mode_parity():
         )
 
 
+@pytest.mark.slow
 def test_audited_displacement_matches_unsharded():
     # cmax=1 keeps the quick tier fast (27-term gather); reference_init
     # displacement ~0.48 cells stays inside the +-1 window.
@@ -130,6 +132,7 @@ def test_validation_errors():
         )
 
 
+@pytest.mark.slow
 def test_sharded_pallas_3d_matches_sharded_jnp():
     # Per-shard Pallas slab kernels (interpret mode) vs the jnp local ops:
     # same expressions, so parity is exact.  4 shards x 8 planes hosts the
@@ -162,6 +165,7 @@ def test_sharded_pallas_3d_matches_sharded_jnp():
         )
 
 
+@pytest.mark.slow
 def test_output_stays_sharded():
     cfg = _cfg(n=14)
     mesh = _mesh(8)

@@ -39,6 +39,7 @@ def test_fused_paths_engage_at_depth():
     assert not ps.dens_slab_supported(8, 64, it, cmax)
 
 
+@pytest.mark.slow
 def test_sharded_pallas_fused_matches_sharded_jnp():
     cfg = SimConfig(n=126, jacobi_iters=6, backend="pallas", max_courant=2)
     mesh = make_mesh(jax.devices()[:4], shape=(4, 1))

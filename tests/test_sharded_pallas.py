@@ -104,6 +104,7 @@ def test_sharded_pallas_fast_math_runs():
     assert np.isfinite(np.asarray(out_p.dens)).all()
 
 
+@pytest.mark.slow
 def test_sharded_pallas_2d_mesh_flattens():
     """A (2, 2) device mesh takes the slab path by row-flattening: same
     devices re-meshed (4, 1), bit-identical to the explicit row mesh and
