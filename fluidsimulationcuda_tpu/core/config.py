@@ -52,9 +52,22 @@ class SimConfig:
         future work, ``document/main.tex:356``; mesh-independent convergence,
         non-parity numerics; requires even interior sizes for coarsening),
         or "cg" (conjugate gradient, the other named future-work solver:
-        ``cg_iters`` iterations, O(n) convergence, non-parity numerics).
+        ``cg_iters`` iterations, O(n) convergence, non-parity numerics),
+        or "chebyshev" (``cheby_iters`` Chebyshev-accelerated Jacobi
+        sweeps, ``ops/chebyshev.py`` — same stencil and boundary handling
+        as parity Jacobi but half the sweeps at better residual, measured;
+        non-parity numerics).
+      diffusion_solver: "jacobi" (reference-parity) or "chebyshev"
+        (``cheby_iters`` accelerated sweeps for the three diffusion
+        solves; validated by per-solve residual <= the Jacobi-20 solve's,
+        see bench.py's perf-mode line).
       mg_cycles: V-cycles per pressure solve in multigrid mode.
       cg_iters: CG iterations per pressure solve in cg mode.
+      cheby_iters: sweeps per solve in chebyshev modes.
+      cheby_rho: Chebyshev interval parameter — a free tuning knob, NOT a
+        stability bound (|P_k| <= 1 on [-1, 1] for any value in (0, 1);
+        ``ops/chebyshev.py``).  0.99 measured best-or-near across all five
+        solves at 2048².
       fast_math: Pallas Jacobi rewrites ``(rhs + a*neigh)/beta`` as
         ``rhs/beta + (a/beta)*neigh`` (reciprocal precomputed once per
         solve): ~15-20%% fewer VPU ops, numerics differ by ~1 ulp/sweep from
@@ -84,8 +97,11 @@ class SimConfig:
     fuse_sweeps: int = 0
     max_courant: int = 4
     pressure_solver: str = "jacobi"
+    diffusion_solver: str = "jacobi"
     mg_cycles: int = 2
     cg_iters: int = 20
+    cheby_iters: int = 10
+    cheby_rho: float = 0.99
     advect_mode: str = "auto"
     fast_math: bool = False
     ndim: int = 2
@@ -97,8 +113,16 @@ class SimConfig:
             raise ValueError("jacobi_iters must be >= 1")
         if self.backend not in ("reference", "pallas", "auto"):
             raise ValueError(f"unknown backend {self.backend!r}")
-        if self.pressure_solver not in ("jacobi", "multigrid", "cg"):
+        if self.pressure_solver not in ("jacobi", "multigrid", "cg",
+                                        "chebyshev"):
             raise ValueError(f"unknown pressure_solver {self.pressure_solver!r}")
+        if self.diffusion_solver not in ("jacobi", "chebyshev"):
+            raise ValueError(
+                f"unknown diffusion_solver {self.diffusion_solver!r}")
+        if not (0.0 < self.cheby_rho < 1.0):
+            raise ValueError("cheby_rho must be in (0, 1)")
+        if self.cheby_iters < 2:
+            raise ValueError("cheby_iters must be >= 2")
         if self.advect_mode not in ("auto", "exact", "windowed"):
             raise ValueError(f"unknown advect_mode {self.advect_mode!r}")
         if self.ndim not in (2, 3):
@@ -107,7 +131,12 @@ class SimConfig:
             # The 3-D model is Jacobi-only; silently ignoring the knob
             # would misreport the numerics actually run.
             raise ValueError(
-                "pressure_solver='multigrid'/'cg' are 2-D solvers; "
+                "pressure_solver='multigrid'/'cg'/'chebyshev' are 2-D "
+                "solvers; ndim=3 supports 'jacobi' only"
+            )
+        if self.ndim == 3 and self.diffusion_solver != "jacobi":
+            raise ValueError(
+                "diffusion_solver='chebyshev' is a 2-D solver; "
                 "ndim=3 supports 'jacobi' only"
             )
 

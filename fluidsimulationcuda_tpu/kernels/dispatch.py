@@ -17,12 +17,27 @@ import jax
 
 from ..core.config import SimConfig
 from ..ops.advect import advect as _advect_ref
-from ..ops.diffuse import diffuse as _diffuse_ref
+from ..ops.chebyshev import cheby_diffuse as _cheby_diffuse_ref
+from ..ops.chebyshev import cheby_pressure_solve as _cheby_pressure_ref
+from ..ops.diffuse import diffuse as _diffuse_jnp
 from ..ops.project import (
     apply_pressure_gradient as _apg_ref,
     divergence as _divergence_ref,
-    pressure_solve as _pressure_ref,
+    pressure_solve as _pressure_jnp,
 )
+
+
+def _diffuse_ref(b, x_init, x0, alpha, beta, iters, cheby_rho=None):
+    if cheby_rho is not None:
+        return _cheby_diffuse_ref(b, x_init, x0, alpha, beta, iters,
+                                  cheby_rho)
+    return _diffuse_jnp(b, x_init, x0, alpha, beta, iters)
+
+
+def _pressure_ref(div, iters, cheby_rho=None):
+    if cheby_rho is not None:
+        return _cheby_pressure_ref(div, iters, cheby_rho)
+    return _pressure_jnp(div, iters)
 
 
 class OpSet(NamedTuple):
@@ -51,17 +66,18 @@ def _advect_pair_ref(b1, b2, d1, d2, u, v, dt, n):
     return _advect_ref(b1, d1, u, v, dt, n), _advect_ref(b2, d2, u, v, dt, n)
 
 
-def _project_ref_op(u, v, n, iters):
+def _project_ref_op(u, v, n, iters, cheby_rho=None):
     div = _divergence_ref(u, v, n)
-    p = _pressure_ref(div, iters)
+    p = _pressure_ref(div, iters, cheby_rho=cheby_rho)
     return _apg_ref(u, v, p, n)
 
 
-def _diffuse_src_ref(b, src, base, alpha, beta, iters, dt):
+def _diffuse_src_ref(b, src, base, alpha, beta, iters, dt, cheby_rho=None):
     import jax.numpy as jnp
 
     rhs = base + jnp.asarray(dt, base.dtype) * src
-    return _diffuse_ref(b, src, rhs, alpha, beta, iters)
+    return _diffuse_ref(b, src, rhs, alpha, beta, iters,
+                        cheby_rho=cheby_rho)
 
 
 _REFERENCE_OPS = OpSet(

@@ -229,13 +229,59 @@ def _ceil8(x: int) -> int:
     return _ceil_t(x, 8)
 
 
+def _sweep_loop(sweep, buf_a, buf_b, sweeps: int, cheby_rho) -> None:
+    """Run ``sweeps`` stencil applications between the ping-pong buffers,
+    leaving the result in ``buf_a`` (which holds the initial guess on
+    entry).  ``sweep(src, dst, w)`` applies one Jacobi sweep: ``w is
+    None`` -> ``dst = S(src)``; else (a traced f32 scalar) -> the
+    Chebyshev three-term update ``dst = w*S(src) + (1-w)*dst`` — dst holds
+    x_{k-1} and is overwritten with x_{k+1} elementwise, so the recurrence
+    needs NO third buffer (S reads only src).  The w schedule
+    (``ops/chebyshev.py``: w_{k+1} = 1/(1 - rho²w_k/4), w_1 = 2) is
+    carried as a scalar through the fori loop, so sweeps stay a runtime
+    loop — unrolling to bake the w's in as constants would inflate Mosaic
+    sweep temporaries the way the 3-D probe measured (need ∝ unrolled
+    sweeps).  Per-sweep validity margins are identical to plain Jacobi:
+    each Chebyshev sweep reads a 1-ring of x_k plus x_{k-1} POINTWISE, and
+    the older iterate is valid wherever the newer one is."""
+    if cheby_rho is None:
+        def double(_, c):
+            sweep(buf_a, buf_b, None)
+            sweep(buf_b, buf_a, None)
+            return c
+
+        jax.lax.fori_loop(0, sweeps // 2, double, 0)
+        if sweeps % 2:
+            sweep(buf_a, buf_b, None)
+            buf_a[:] = buf_b[:]
+        return
+
+    q = jnp.float32(cheby_rho * cheby_rho * 0.25)
+    one = jnp.float32(1.0)
+    sweep(buf_a, buf_b, None)  # x_1 = S(x_0); x_0 stays in buf_a
+    rem = sweeps - 1
+
+    def cheby_double(_, w):
+        w1 = one / (one - q * w)
+        sweep(buf_b, buf_a, w1)   # x_{k+1} over x_{k-1}
+        w2 = one / (one - q * w1)
+        sweep(buf_a, buf_b, w2)
+        return w2
+
+    w_last = jax.lax.fori_loop(0, rem // 2, cheby_double, jnp.float32(2.0))
+    if rem % 2:
+        sweep(buf_b, buf_a, one / (one - q * w_last))
+    else:
+        buf_a[:] = buf_b[:]
+
+
 def _jacobi_kernel(
     x_hbm, rhs_hbm, out_ref, xs2, rhs2, buf_b, buf_c, sems,
     *, b, alpha: float, beta: float, sweeps: int,
     tm: int, wr: int, side: int, zero_init: bool, margin: int,
     nstrips: int, total: int, st: int = 8, nb1: int = 0,
     src_dt: float | None = None, fast: bool = False,
-    damp: float | None = None,
+    damp: float | None = None, cheby_rho: float | None = None,
 ):
     # Grid is (batch, strips): batched simulations are independent grids
     # stacked on a leading axis (unbatched arrays are reshaped to B=1).
@@ -327,7 +373,7 @@ def _jacobi_kernel(
         w_c = jnp.asarray(damp, dt)
         omw_c = jnp.asarray(1.0 - damp, dt)
 
-    def sweep(src, dst):
+    def sweep(src, dst, w):
         # Fully-aligned formulation: static rolls instead of offset slices
         # (Mosaic inserts a relayout for every unaligned load/store; rolls
         # are single rotates — ~20% faster end to end).  Roll wrap-around
@@ -351,21 +397,19 @@ def _jacobi_kernel(
             # Damped Jacobi (the multigrid smoother, ops/multigrid._smooth):
             # plain Jacobi leaves the checkerboard mode undamped.
             val = omw_c * s + w_c * val
-        dst[:] = val
+        if w is None:
+            dst[:] = val
+        else:
+            # Chebyshev three-term update (see _sweep_loop): dst holds
+            # x_{k-1}, overwritten in place.
+            wc = w.astype(dt)
+            dst[:] = wc * val + (jnp.asarray(1.0, dt) - wc) * dst[:]
         # Corners deferred to the output epilogue: they are never stencil
         # inputs and the per-sweep 1x1 stores dominate the kernel otherwise.
         _apply_bnd_window(dst, b_bc, start, wr, side, corners=False,
                           signs=signs)
 
-    def double_sweep(_, carry):
-        sweep(buf_c, buf_b)
-        sweep(buf_b, buf_c)
-        return carry
-
-    jax.lax.fori_loop(0, sweeps // 2, double_sweep, 0)
-    if sweeps % 2:
-        sweep(buf_c, buf_b)
-        buf_c[:] = buf_b[:]
+    _sweep_loop(sweep, buf_c, buf_b, sweeps, cheby_rho)
 
     ob = out_ref.at[0]
     ob[:] = buf_c[pl.ds(pl.multiple_of(r0 - start, st), tm), :].astype(
@@ -388,11 +432,16 @@ def fused_jacobi(
     fast: bool = False,
     nb1: int = 0,
     damp: float | None = None,
+    cheby_rho: float | None = None,
 ) -> jnp.ndarray:
     """``iters`` Jacobi sweeps (semantics of ``ops.diffuse``) with up to
     ``max_fused`` sweeps per HBM round-trip.  ``zero_init`` skips loading the
     initial guess (pressure solve: p is zeroed, ``FluidSequential.c:153``).
-    Accepts (side, side) or batched (B, side, side) arrays."""
+    Accepts (side, side) or batched (B, side, side) arrays.  ``cheby_rho``
+    switches to Chebyshev-accelerated sweeps (``ops/chebyshev.py``);
+    the three-term recurrence spans ALL sweeps, so the solve must fit one
+    kernel call (raises when the VMEM margin clamp forces chaining)."""
+    assert not (cheby_rho is not None and damp is not None)
     side = x0.shape[-1]
     tm = _pick_tm(side)
     assert tm is not None, f"unsupported side {side}"
@@ -418,6 +467,13 @@ def fused_jacobi(
         # (8192² clamps 20 -> 7).
         x0 = x0 + jnp.asarray(src_dt, x0.dtype) * x
         src_dt = None
+    if cheby_rho is not None and iters > max_fused:
+        raise ValueError(
+            f"chebyshev solve needs all {iters} sweeps in one kernel call "
+            f"(three-term recurrence state lives in VMEM) but the margin "
+            f"clamp allows only {max_fused} at side={side}; use fewer "
+            f"cheby_iters or pressure/diffusion_solver='jacobi'"
+        )
     while remaining > 0:
         k = min(remaining, max_fused)
         x = _fused_jacobi_call(
@@ -425,6 +481,7 @@ def fused_jacobi(
             zero_init and first,
             float(src_dt) if (src_dt is not None and first) else None,
             fast, nb1, None if damp is None else float(damp),
+            None if cheby_rho is None else float(cheby_rho),
         )
         first = False
         remaining -= k
@@ -433,10 +490,12 @@ def fused_jacobi(
 
 @functools.partial(
     jax.jit, static_argnames=("b", "alpha", "beta", "sweeps", "tm", "side",
-                              "zero_init", "src_dt", "fast", "nb1", "damp")
+                              "zero_init", "src_dt", "fast", "nb1", "damp",
+                              "cheby_rho")
 )
 def _fused_jacobi_call(b, x, x0, alpha, beta, sweeps, tm, side, zero_init,
-                       src_dt=None, fast=False, nb1=0, damp=None):
+                       src_dt=None, fast=False, nb1=0, damp=None,
+                       cheby_rho=None):
     st = _sub(x0.dtype)
     if tm == side:
         wr = side  # whole grid in one window; margin condition is vacuous
@@ -455,7 +514,7 @@ def _fused_jacobi_call(b, x, x0, alpha, beta, sweeps, tm, side, zero_init,
         _jacobi_kernel, b=b, alpha=alpha, beta=beta, sweeps=sweeps,
         tm=tm, wr=wr, side=side, zero_init=zero_init, margin=margin,
         nstrips=nstrips, total=nb * nstrips, st=st, nb1=nb1,
-        src_dt=src_dt, fast=fast, damp=damp,
+        src_dt=src_dt, fast=fast, damp=damp, cheby_rho=cheby_rho,
     )
     out = pl.pallas_call(
         kernel,
@@ -542,6 +601,7 @@ def _project_kernel(
     u_hbm, v_hbm, uout, vout, ubuf2, vbuf2, rhs_buf, p_a, p_b, sems,
     *, n: int, iters: int, tm: int, wr: int, side: int, margin: int,
     nstrips: int, total: int, st: int = 8,
+    cheby_rho: float | None = None,
 ):
     """Whole projection (``FluidSequential.c:213-226``) in one kernel per
     strip: divergence computed in-window, ``iters`` pressure sweeps in VMEM,
@@ -617,24 +677,21 @@ def _project_kernel(
     p_a[:] = jnp.zeros((wr, side), dt)
     quarter = jnp.asarray(0.25, dt)
 
-    def sweep(src, dst):
+    def sweep(src, dst, w):
         sp = src[:]
         neigh = (
             (pltpu.roll(sp, 1, 1) + pltpu.roll(sp, side - 1, 1))
             + pltpu.roll(sp, 1, 0)
         ) + pltpu.roll(sp, wr - 1, 0)
-        dst[:] = (rhs_buf[:] + neigh) * quarter
+        val = (rhs_buf[:] + neigh) * quarter
+        if w is None:
+            dst[:] = val
+        else:  # Chebyshev three-term update (see _sweep_loop)
+            wc = w.astype(dt)
+            dst[:] = wc * val + (jnp.asarray(1.0, dt) - wc) * dst[:]
         _apply_bnd_window(dst, 0, start, wr, side, corners=False)
 
-    def double_sweep(_, carry):
-        sweep(p_a, p_b)
-        sweep(p_b, p_a)
-        return carry
-
-    jax.lax.fori_loop(0, iters // 2, double_sweep, 0)
-    if iters % 2:
-        sweep(p_a, p_b)
-        p_a[:] = p_b[:]
+    _sweep_loop(sweep, p_a, p_b, iters, cheby_rho)
 
     # Gradient subtraction (lastProject, FluidSequential.c:161-173) on the
     # output strip.  Aligned ref reads (no dynamic_slice on values in
@@ -676,13 +733,16 @@ def fused_project_supported(side: int, iters: int, st: int = 8) -> bool:
     return 7 * wr * side * 4 <= _SWEEP_BUDGET and wr <= side
 
 
-def fused_project(u, v, n: int, iters: int):
-    """Projection (div + pressure solve + gradient) as one Pallas kernel."""
-    return _fused_project_call(u, v, n, iters)
+def fused_project(u, v, n: int, iters: int, *, cheby_rho=None):
+    """Projection (div + pressure solve + gradient) as one Pallas kernel.
+    ``cheby_rho`` switches the pressure sweeps to Chebyshev acceleration
+    (``ops/chebyshev.py``); same window margins as plain Jacobi."""
+    return _fused_project_call(
+        u, v, n, iters, None if cheby_rho is None else float(cheby_rho))
 
 
-@functools.partial(jax.jit, static_argnames=("n", "iters"))
-def _fused_project_call(u, v, n, iters):
+@functools.partial(jax.jit, static_argnames=("n", "iters", "cheby_rho"))
+def _fused_project_call(u, v, n, iters, cheby_rho=None):
     side = n + 2
     st = _sub(u.dtype)
     tm = _pick_tm(side)
@@ -708,6 +768,7 @@ def _fused_project_call(u, v, n, iters):
     kernel = functools.partial(
         _project_kernel, n=n, iters=iters, tm=tm, wr=wr, side=side,
         margin=margin, nstrips=nstrips, total=nb * nstrips, st=st,
+        cheby_rho=cheby_rho,
     )
     blk = pl.BlockSpec((1, tm, side), lambda bi, gi: (bi, gi, 0),
                        memory_space=pltpu.VMEM)
@@ -1029,6 +1090,7 @@ def _dens_fused_kernel(
     *, b: int, alpha: float, beta: float, sweeps: int, tm: int, wr: int,
     side: int, margin: int, nstrips: int, total: int, n: int, dt: float,
     cmax: int, src_dt: float, fast: bool,
+    cheby_rho: float | None = None,
 ):
     """The whole ``dens_step`` (``FluidSequential.c:176-186``) per strip:
     add_source folded into the Jacobi rhs, ``sweeps`` diffusion sweeps in
@@ -1099,7 +1161,7 @@ def _dens_fused_kernel(
     ab_c = jnp.asarray(alpha / beta, dtype)
     b_c = jnp.asarray(beta, dtype)
 
-    def sweep(src, dst):
+    def sweep(src, dst, w):
         s = src[:]
         sL = pltpu.roll(s, 1, 1)
         sR = pltpu.roll(s, side - 1, 1)
@@ -1107,20 +1169,17 @@ def _dens_fused_kernel(
         sD = pltpu.roll(s, wr - 1, 0)
         neigh = ((sL + sR) + sU) + sD
         if fast:
-            dst[:] = rhs_buf[:] + ab_c * neigh
+            val = rhs_buf[:] + ab_c * neigh
         else:
-            dst[:] = (rhs_buf[:] + a_c * neigh) / b_c
+            val = (rhs_buf[:] + a_c * neigh) / b_c
+        if w is None:
+            dst[:] = val
+        else:  # Chebyshev three-term update (see _sweep_loop)
+            wc = w.astype(dtype)
+            dst[:] = wc * val + (jnp.asarray(1.0, dtype) - wc) * dst[:]
         _apply_bnd_window(dst, b, start, wr, side, corners=False)
 
-    def double_sweep(_, carry):
-        sweep(buf_c, buf_b)
-        sweep(buf_b, buf_c)
-        return carry
-
-    jax.lax.fori_loop(0, sweeps // 2, double_sweep, 0)
-    if sweeps % 2:
-        sweep(buf_c, buf_b)
-        buf_c[:] = buf_b[:]
+    _sweep_loop(sweep, buf_c, buf_b, sweeps, cheby_rho)
     # Corner cells ARE bilinear gather sources (x,y clamp to 0.5 pulls
     # wall-adjacent backtraces onto the corner); fix them before gathering.
     _apply_corners(buf_c, start, wr, side)
@@ -1252,21 +1311,24 @@ def fused_dens_advect(
     *,
     cmax: int = 4,
     fast: bool = False,
+    cheby_rho: float | None = None,
 ) -> jnp.ndarray:
     """``advect(b, diffuse_src(b, src, base, ...), u, v)`` in one kernel —
     the reference's back-to-back density pair (``FluidSequential.c:176-186``)
-    without the HBM round-trip between them."""
+    without the HBM round-trip between them.  ``cheby_rho`` switches the
+    diffusion sweeps to Chebyshev acceleration (``ops/chebyshev.py``)."""
     return _dens_fused_call(b, src, base, u, v, float(alpha), float(beta),
-                            iters, float(dt), n, cmax, fast)
+                            iters, float(dt), n, cmax, fast,
+                            None if cheby_rho is None else float(cheby_rho))
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("b", "alpha", "beta", "iters", "dt", "n", "cmax",
-                     "fast"),
+                     "fast", "cheby_rho"),
 )
 def _dens_fused_call(b, src, base, u, v, alpha, beta, iters, dt, n, cmax,
-                     fast):
+                     fast, cheby_rho=None):
     side = n + 2
     assert base.dtype == jnp.float32, "fused dens kernel is f32-only"
     tm = _dens_tm(side, iters, cmax)
@@ -1287,6 +1349,7 @@ def _dens_fused_call(b, src, base, u, v, alpha, beta, iters, dt, n, cmax,
         _dens_fused_kernel, b=b, alpha=alpha, beta=beta, sweeps=iters,
         tm=tm, wr=wr, side=side, margin=margin, nstrips=nstrips,
         total=nb * nstrips, n=n, dt=dt, cmax=cmax, src_dt=dt, fast=fast,
+        cheby_rho=cheby_rho,
     )
     blk = pl.BlockSpec((1, tm, side), lambda bi, gi: (bi, gi, 0),
                        memory_space=pltpu.VMEM)
@@ -1488,18 +1551,19 @@ def make_opset(cfg: SimConfig) -> OpSet:
     fuse = cfg.fuse_sweeps or 20
     fast = cfg.fast_math
 
-    def diffuse(b, x_init, x0, alpha, beta, iters):
+    def diffuse(b, x_init, x0, alpha, beta, iters, cheby_rho=None):
         return fused_jacobi(b, x_init, x0, alpha, beta, iters,
-                            max_fused=fuse, fast=fast)
+                            max_fused=fuse, fast=fast, cheby_rho=cheby_rho)
 
-    def diffuse_src(b, src, base, alpha, beta, iters, dt):
+    def diffuse_src(b, src, base, alpha, beta, iters, dt, cheby_rho=None):
         if iters <= fuse:
             # single chunk: add_source fused into the kernel's rhs
             return fused_jacobi(b, src, base, alpha, beta, iters,
-                                max_fused=fuse, src_dt=dt, fast=fast)
+                                max_fused=fuse, src_dt=dt, fast=fast,
+                                cheby_rho=cheby_rho)
         rhs = base + jnp.asarray(dt, base.dtype) * src
         return fused_jacobi(b, src, rhs, alpha, beta, iters,
-                            max_fused=fuse, fast=fast)
+                            max_fused=fuse, fast=fast, cheby_rho=cheby_rho)
 
     def advect(b, d0, u, v, dt, n):
         return advect_shift(b, d0, u, v, dt, n, cmax=cmax)
@@ -1521,25 +1585,27 @@ def make_opset(cfg: SimConfig) -> OpSet:
     def divergence(u, v, n):
         return divergence_p(u, v, n)
 
-    def pressure_solve(div, iters):
+    def pressure_solve(div, iters, cheby_rho=None):
         return fused_jacobi(
-            0, div, div, 1.0, 4.0, iters, zero_init=True, max_fused=fuse
+            0, div, div, 1.0, 4.0, iters, zero_init=True, max_fused=fuse,
+            cheby_rho=cheby_rho,
         )
 
     def apply_pressure_gradient(u, v, p, n):
         return gradient_p(u, v, p, n)
 
-    def project(u, v, n, iters):
+    def project(u, v, n, iters, cheby_rho=None):
         # The gate must size margins with the same sublane tile the call
         # will use (16 for bf16) or gate and call can disagree on viability.
         if fused_project_supported(n + 2, iters, st=_sub(cfg.dtype)):
-            return fused_project(u, v, n, iters)
+            return fused_project(u, v, n, iters, cheby_rho=cheby_rho)
         # Window too deep for this grid/iter combo: unfused composition.
         div = divergence_p(u, v, n)
-        p = pressure_solve(div, iters)
+        p = pressure_solve(div, iters, cheby_rho=cheby_rho)
         return gradient_p(u, v, p, n)
 
-    def diffuse_advect(b, src, base, u, v, alpha, beta, iters, dt, n):
+    def diffuse_advect(b, src, base, u, v, alpha, beta, iters, dt, n,
+                       cheby_rho=None):
         # f32 only: the fused kernel's gather accumulators alias the bf16
         # DMA slots, and its staging rolls have no bf16 lowering; bf16 mode
         # composes the two (individually bf16-capable) kernels instead.
@@ -1547,8 +1613,10 @@ def make_opset(cfg: SimConfig) -> OpSet:
             n + 2, iters, cmax
         ):
             return fused_dens_advect(b, src, base, u, v, alpha, beta,
-                                     iters, dt, n, cmax=cmax, fast=fast)
-        d = diffuse_src(b, src, base, alpha, beta, iters, dt)
+                                     iters, dt, n, cmax=cmax, fast=fast,
+                                     cheby_rho=cheby_rho)
+        d = diffuse_src(b, src, base, alpha, beta, iters, dt,
+                        cheby_rho=cheby_rho)
         return advect(b, d, u, v, dt, n)
 
     return OpSet(

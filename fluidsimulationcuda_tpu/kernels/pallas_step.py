@@ -51,6 +51,7 @@ from .pallas_ops import (
     _apply_bnd_window,
     _ceil_t,
     _sub,
+    _sweep_loop,
     _LANE,
 )
 
@@ -96,6 +97,7 @@ def _ap_kernel(
     ubuf2, vbuf2, wbuf, g00, g01, g10, g11, adv_u, adv_v, rhs_buf, sems,
     *, n: int, iters: int, dt: float, cmax: int, tm: int, wr: int,
     side: int, margin: int, C8: int, nstrips: int, total: int, st: int,
+    cheby_rho: float | None = None,
 ):
     bi = pl.program_id(0)
     gi = pl.program_id(1)
@@ -227,24 +229,21 @@ def _ap_kernel(
     p_a[:] = jnp.zeros((wr, side), dtype)
     quarter = jnp.asarray(0.25, dtype)
 
-    def sweep(src, dst):
+    def sweep(src, dst, w):
         sp = src[:]
         neigh = (
             (pltpu.roll(sp, 1, 1) + pltpu.roll(sp, side - 1, 1))
             + pltpu.roll(sp, 1, 0)
         ) + pltpu.roll(sp, wr - 1, 0)
-        dst[:] = (rhs_buf[:] + neigh) * quarter
+        val = (rhs_buf[:] + neigh) * quarter
+        if w is None:
+            dst[:] = val
+        else:  # Chebyshev three-term update (pallas_ops._sweep_loop)
+            wc = w.astype(dtype)
+            dst[:] = wc * val + (jnp.asarray(1.0, dtype) - wc) * dst[:]
         _apply_bnd_window(dst, 0, start_p, wr, side, corners=False)
 
-    def double_sweep(_, carry):
-        sweep(p_a, p_b)
-        sweep(p_b, p_a)
-        return carry
-
-    jax.lax.fori_loop(0, iters // 2, double_sweep, 0)
-    if iters % 2:
-        sweep(p_a, p_b)
-        p_a[:] = p_b[:]
+    _sweep_loop(sweep, p_a, p_b, iters, cheby_rho)
 
     off = pl.multiple_of(r0 - start_p, st)
     p_c = p_a[pl.ds(off, tm), :]
@@ -263,15 +262,18 @@ def _ap_kernel(
 
 
 def fused_advect_project(u, v, n: int, iters: int, dt: float, *,
-                         cmax: int = 1):
+                         cmax: int = 1, cheby_rho=None):
     """``project(advect_pair(1, 2, u, v, u, v))`` in one kernel —
     the tail of ``vel_step`` (``FluidSequential.c:232-240``) without the
-    HBM round-trip for the advected pair."""
-    return _ap_call(u, v, n, iters, float(dt), cmax)
+    HBM round-trip for the advected pair.  ``cheby_rho`` switches the
+    pressure sweeps to Chebyshev acceleration (``ops/chebyshev.py``)."""
+    return _ap_call(u, v, n, iters, float(dt), cmax,
+                    None if cheby_rho is None else float(cheby_rho))
 
 
-@functools.partial(jax.jit, static_argnames=("n", "iters", "dt", "cmax"))
-def _ap_call(u, v, n, iters, dt, cmax):
+@functools.partial(jax.jit,
+                   static_argnames=("n", "iters", "dt", "cmax", "cheby_rho"))
+def _ap_call(u, v, n, iters, dt, cmax, cheby_rho=None):
     side = n + 2
     assert u.dtype == jnp.float32, "fused advect+project is f32-only"
     st = _sub(u.dtype)
@@ -289,7 +291,7 @@ def _ap_call(u, v, n, iters, dt, cmax):
     kernel = functools.partial(
         _ap_kernel, n=n, iters=iters, dt=dt, cmax=cmax, tm=tm, wr=wr,
         side=side, margin=margin, C8=C8, nstrips=nstrips,
-        total=nb * nstrips, st=st,
+        total=nb * nstrips, st=st, cheby_rho=cheby_rho,
     )
     blk = pl.BlockSpec((1, tm, side), lambda bi, gi: (bi, gi, 0),
                        memory_space=pltpu.VMEM)

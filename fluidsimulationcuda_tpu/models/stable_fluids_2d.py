@@ -53,10 +53,25 @@ def _make_project(cfg: SimConfig, ops):
             div = ops.divergence(u, v, cfg.n)
             p = cg_pressure_solve(div, iters=cfg.cg_iters)
             return ops.apply_pressure_gradient(u, v, p, cfg.n)
+    elif cfg.pressure_solver == "chebyshev":
+        # Chebyshev-accelerated pressure sweeps inside the SAME fused
+        # projection kernel as parity Jacobi (ops/chebyshev.py; validated
+        # by bench.py's perf-mode divergence audit).
+        def _project(u, v):
+            return ops.project(u, v, cfg.n, cfg.cheby_iters,
+                               cheby_rho=cfg.cheby_rho)
     else:
         def _project(u, v):
             return ops.project(u, v, cfg.n, cfg.jacobi_iters)
     return _project
+
+
+def _diffusion_args(cfg: SimConfig) -> tuple[int, dict]:
+    """(iters, extra-kwargs) for the three diffusion solves, honoring
+    ``cfg.diffusion_solver``."""
+    if cfg.diffusion_solver == "chebyshev":
+        return cfg.cheby_iters, {"cheby_rho": cfg.cheby_rho}
+    return cfg.jacobi_iters, {}
 
 
 def vel_step(
@@ -71,8 +86,9 @@ def vel_step(
     # SLOWER (1.16 vs 1.02 ms at 2048^2) — the stacking concatenate copies
     # both fields and XLA already pipelines the two independent solves
     # back-to-back (see kernels.pallas_ops.fused_jacobi_pair).
-    u = ops.diffuse_src(1, u_src, u, alpha, beta, cfg.jacobi_iters, cfg.dt)
-    v = ops.diffuse_src(2, v_src, v, alpha, beta, cfg.jacobi_iters, cfg.dt)
+    d_iters, d_kw = _diffusion_args(cfg)
+    u = ops.diffuse_src(1, u_src, u, alpha, beta, d_iters, cfg.dt, **d_kw)
+    v = ops.diffuse_src(2, v_src, v, alpha, beta, d_iters, cfg.dt, **d_kw)
     _project = _make_project(cfg, ops)
 
     u, v = _project(u, v)
@@ -92,11 +108,12 @@ def dens_step(
     ops = get_ops(cfg)
     alpha = cfg.diffusion_alpha_diff
     beta = 1.0 + 4.0 * alpha
+    d_iters, d_kw = _diffusion_args(cfg)
     if ops.diffuse_advect is not None:
         return ops.diffuse_advect(0, dens_src, dens, u, v, alpha, beta,
-                                  cfg.jacobi_iters, cfg.dt, cfg.n)
-    dens = ops.diffuse_src(0, dens_src, dens, alpha, beta,
-                           cfg.jacobi_iters, cfg.dt)
+                                  d_iters, cfg.dt, cfg.n, **d_kw)
+    dens = ops.diffuse_src(0, dens_src, dens, alpha, beta, d_iters, cfg.dt,
+                           **d_kw)
     return ops.advect(0, dens, u, v, cfg.dt, cfg.n)
 
 
