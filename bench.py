@@ -1,6 +1,7 @@
 """Benchmark harness — prints the headline JSON line (first), then a
-clearly-labeled performance-mode line (multigrid pressure solver +
-fast_math, divergence-validated against the parity solve).
+clearly-labeled performance-mode line (Chebyshev-accelerated pressure
+sweeps + fast_math by default — see ``--perf-solver`` — divergence-
+validated against the parity solve on the same trajectory).
 
 Headline (BASELINE.json): full-step throughput in Mcell-updates/s at 2048²
 (n = 2046, padded side 2048 — same padding convention as the reference's
@@ -159,7 +160,7 @@ def bench_step(cfg: SimConfig, steps: int, warmup: int = 3,
 def audit_divergence(cfg: SimConfig, state, steps: int, drive=None) -> float:
     """Max post-projection |divergence| of the stored velocity over
     ``steps`` steps from ``state`` — the solver-quality metric that
-    validates the performance-mode (multigrid) headline: the perf mode is
+    validates the performance-mode headline: the perf mode is
     honest only if its incompressibility residual is no worse than the
     parity Jacobi-20 solve's on the same trajectory."""
     from fluidsimulationcuda_tpu.ops.project import divergence
@@ -372,7 +373,11 @@ def main() -> None:
     if not (args.no_perf_mode or args.forcing or args.backend == "reference"):
         # Second, clearly-labeled line: the non-parity performance mode
         # (opt-in solver the reference names as future work), validated by
-        # divergence residual on the same trajectory.
+        # divergence residual on the same trajectory.  Run at the SAME
+        # audited window the headline settled on (auto_cmax shrank
+        # cfg.max_courant inside bench_step's probe; the perf trajectory
+        # is audited again below on its own run).
+        cfg = dataclasses.replace(cfg, max_courant=cmax)
         print(json.dumps(perf_mode_line(cfg, args.steps, mcells,
                                         solver=args.perf_solver)))
 

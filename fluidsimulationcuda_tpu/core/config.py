@@ -63,7 +63,11 @@ class SimConfig:
         see bench.py's perf-mode line).
       mg_cycles: V-cycles per pressure solve in multigrid mode.
       cg_iters: CG iterations per pressure solve in cg mode.
-      cheby_iters: sweeps per solve in chebyshev modes.
+      cheby_iters: sweeps per solve in chebyshev modes.  Default 8:
+        the fewest sweeps that pass the perf-mode divergence bar with
+        margin on BOTH the decay and continuous-forcing trajectories
+        (decay 0.73x bar, forcing 0.69x; k=6 passes at 0.85x, k=4
+        fails — ``dev/bench_r3m_cheby.py`` / bench.py validates live).
       cheby_rho: Chebyshev interval parameter — a free tuning knob, NOT a
         stability bound (|P_k| <= 1 on [-1, 1] for any value in (0, 1);
         ``ops/chebyshev.py``).  0.99 measured best-or-near across all five
@@ -100,7 +104,7 @@ class SimConfig:
     diffusion_solver: str = "jacobi"
     mg_cycles: int = 2
     cg_iters: int = 20
-    cheby_iters: int = 10
+    cheby_iters: int = 8
     cheby_rho: float = 0.99
     advect_mode: str = "auto"
     fast_math: bool = False

@@ -39,6 +39,7 @@ from .pallas_ops import (
     _ceil8,
     _signs,
     _cparams,
+    _sweep_loop,
 )
 
 __all__ = [
@@ -131,7 +132,7 @@ def _jacobi_slab_kernel(
     flags_ref, x_hbm, rhs_hbm, out_ref, xs2, rhs2, buf_b, buf_c, sems,
     *, b: int, alpha: float, beta: float, sweeps: int,
     tm: int, wr: int, side: int, K: int, m: int, zero_init: bool,
-    nstrips: int, fast: bool,
+    nstrips: int, fast: bool, cheby_rho: float | None = None,
 ):
     """K-margin fused sweeps over one strip of the extended slab.
 
@@ -199,7 +200,7 @@ def _jacobi_slab_kernel(
         _slab_window_bc(dst, sx, sy, start, wr, side, is_top, is_bot,
                         gtop, gbot)
 
-    def sweep(src, dst):
+    def sweep(src, dst, w):
         s = src[:]
         sL = pltpu.roll(s, 1, 1)
         sR = pltpu.roll(s, side - 1, 1)
@@ -207,20 +208,17 @@ def _jacobi_slab_kernel(
         sD = pltpu.roll(s, wr - 1, 0)
         neigh = ((sL + sR) + sU) + sD
         if fast:
-            dst[:] = rhs_buf[:] + ab_c * neigh
+            val = rhs_buf[:] + ab_c * neigh
         else:
-            dst[:] = (rhs_buf[:] + a_c * neigh) / b_c
+            val = (rhs_buf[:] + a_c * neigh) / b_c
+        if w is None:
+            dst[:] = val
+        else:  # Chebyshev three-term update (pallas_ops._sweep_loop)
+            wc = w.astype(dt)
+            dst[:] = wc * val + (jnp.asarray(1.0, dt) - wc) * dst[:]
         bc(dst)
 
-    def double_sweep(_, carry):
-        sweep(buf_c, buf_b)
-        sweep(buf_b, buf_c)
-        return carry
-
-    jax.lax.fori_loop(0, sweeps // 2, double_sweep, 0)
-    if sweeps % 2:
-        sweep(buf_c, buf_b)
-        buf_c[:] = buf_b[:]
+    _sweep_loop(sweep, buf_c, buf_b, sweeps, cheby_rho)
 
     ob = out_ref
     ob[:] = buf_c[pl.ds(K, tm), :]
@@ -253,7 +251,7 @@ def _slab_corners(ob, gi, tm: int, side: int, nstrips: int, is_top, is_bot):
 @functools.partial(
     jax.jit,
     static_argnames=("b", "alpha", "beta", "sweeps", "m", "K", "zero_init",
-                     "fast"),
+                     "fast", "cheby_rho"),
 )
 def fused_jacobi_slab(
     b: int,
@@ -268,10 +266,14 @@ def fused_jacobi_slab(
     sweeps: int,
     zero_init: bool = False,
     fast: bool = False,
+    cheby_rho: float | None = None,
 ) -> jnp.ndarray:
     """``sweeps`` Jacobi sweeps on an ``(m+2K, side)`` halo-extended slab.
     Requires ``K >= ceil8(sweeps+1)`` (halo = validity margin).  Returns the
-    (m, side) slab."""
+    (m, side) slab.  ``cheby_rho`` switches the sweeps to Chebyshev
+    acceleration (``ops/chebyshev.py``) — same margins, and the whole
+    solve must fit in this one call (the three-term recurrence cannot be
+    restarted across halo exchanges without carrying x_{k-1})."""
     me, side = rhs_ext.shape
     assert me == m + 2 * K, (me, m, K)
     assert K >= _ceil8(sweeps + 1) or _interpret()
@@ -283,6 +285,7 @@ def fused_jacobi_slab(
         _jacobi_slab_kernel, b=b, alpha=float(alpha), beta=float(beta),
         sweeps=sweeps, tm=tm, wr=wr, side=side, K=K, m=m,
         zero_init=zero_init, nstrips=nstrips, fast=fast,
+        cheby_rho=None if cheby_rho is None else float(cheby_rho),
     )
     return pl.pallas_call(
         kernel,
@@ -568,7 +571,7 @@ def _project_slab_kernel(
     flags_ref, u_hbm, v_hbm, uout, vout, ubuf2, vbuf2, rhs_buf, p_a, p_b,
     sems,
     *, n: int, iters: int, tm: int, wr: int, side: int, K: int, m: int,
-    nstrips: int,
+    nstrips: int, cheby_rho: float | None = None,
 ):
     """Whole projection (``FluidSequential.c:213-226``) in one kernel per
     strip of the K-extended slab — the SPMD port of
@@ -639,25 +642,22 @@ def _project_slab_kernel(
     p_a[:] = jnp.zeros((wr, side), dt)
     quarter = jnp.asarray(0.25, dt)
 
-    def sweep(src, dst):
+    def sweep(src, dst, w):
         sp = src[:]
         neigh = (
             (pltpu.roll(sp, 1, 1) + pltpu.roll(sp, side - 1, 1))
             + pltpu.roll(sp, 1, 0)
         ) + pltpu.roll(sp, wr - 1, 0)
-        dst[:] = (rhs_buf[:] + neigh) * quarter
+        val = (rhs_buf[:] + neigh) * quarter
+        if w is None:
+            dst[:] = val
+        else:  # Chebyshev three-term update (pallas_ops._sweep_loop)
+            wc = w.astype(dt)
+            dst[:] = wc * val + (jnp.asarray(1.0, dt) - wc) * dst[:]
         _slab_window_bc(dst, one, one, start, wr, side, is_top, is_bot,
                         gtop, gbot)
 
-    def double_sweep(_, carry):
-        sweep(p_a, p_b)
-        sweep(p_b, p_a)
-        return carry
-
-    jax.lax.fori_loop(0, iters // 2, double_sweep, 0)
-    if iters % 2:
-        sweep(p_a, p_b)
-        p_a[:] = p_b[:]
+    _sweep_loop(sweep, p_a, p_b, iters, cheby_rho)
 
     # Gradient subtraction (lastProject, FluidSequential.c:161-173) on the
     # output strip at static window offset K.
@@ -675,12 +675,14 @@ def _project_slab_kernel(
     _apply_bnd_slab_block(vout, 2, gi, tm, side, nstrips, is_top, is_bot)
 
 
-@functools.partial(jax.jit, static_argnames=("n", "iters", "m", "K"))
+@functools.partial(jax.jit,
+                   static_argnames=("n", "iters", "m", "K", "cheby_rho"))
 def fused_project_slab(u_ext, v_ext, flags, *, n: int, iters: int, m: int,
-                       K: int):
+                       K: int, cheby_rho: float | None = None):
     """Projection (div + ``iters``-sweep pressure solve + gradient) on
     (m+2K, side) halo-extended slabs in one kernel; returns (u, v) slabs.
-    Requires ``K == project_slab_margin(iters)``."""
+    Requires ``K == project_slab_margin(iters)``.  ``cheby_rho`` switches
+    the pressure sweeps to Chebyshev acceleration (``ops/chebyshev.py``)."""
     me, side = u_ext.shape
     assert me == m + 2 * K, (me, m, K)
     assert K >= iters + 3 or _interpret()
@@ -691,6 +693,7 @@ def fused_project_slab(u_ext, v_ext, flags, *, n: int, iters: int, m: int,
     kernel = functools.partial(
         _project_slab_kernel, n=n, iters=iters, tm=tm, wr=wr, side=side,
         K=K, m=m, nstrips=nstrips,
+        cheby_rho=None if cheby_rho is None else float(cheby_rho),
     )
     blk = pl.BlockSpec((tm, side), lambda gi: (gi, 0),
                        memory_space=pltpu.VMEM)

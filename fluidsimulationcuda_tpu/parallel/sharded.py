@@ -343,6 +343,72 @@ def _project_local(u, v, n, iters, px, py):
     return _gradient_local(u, v, p, n, px, py)
 
 
+def _cheby_diffuse_local(b, x_init, rhs, alpha, beta, iters, rho,
+                         n, px, py, fuse=8):
+    """Chebyshev-accelerated sharded Jacobi solve — the multi-chip twin of
+    ``ops.chebyshev.cheby_diffuse`` with ``_diffuse_local``'s fused-sweep
+    K-deep halo exchange.  The three-term recurrence
+    ``x_{k+1} = w·S(x_k) + (1-w)·x_{k-1}`` reads x_{k-1} POINTWISE, so it
+    adds one extra K-deep exchange per chunk (x_{k-1}'s halo) and nothing
+    else: validity margins are identical to plain Jacobi (the older
+    iterate is valid wherever the newer one is), and the combined interior
+    re-derives its ghost ring exactly like the jnp spec (ghosts follow the
+    mode-b rule of the CURRENT interior at every iterate)."""
+    from ..ops.chebyshev import cheby_omegas
+
+    dt = rhs.dtype
+    a = jnp.asarray(alpha, dt)
+    bt = jnp.asarray(beta, dt)
+    one = jnp.asarray(1.0, dt)
+    m, k = rhs.shape
+    K = max(1, min(fuse, iters, (m - 2) // 2 if m > 4 else 1,
+                   (k - 2) // 2 if k > 4 else 1))
+    # w schedule: sweep 1 is plain (w=None), sweeps 2..iters use cheby_omegas.
+    ws = [None] + [float(w) for w in cheby_omegas(rho, iters)]
+
+    def chunk(xm, x, ws_chunk):
+        ext = _extend_deep(x, px, py, K)
+        ext_m = _extend_deep(xm, px, py, K)
+        rhs_ext = _extend_deep(rhs, px, py, K)
+        gr, gc = _ext_coords(ext.shape, K)
+        interior = (gr >= 1) & (gr <= n) & (gc >= 1) & (gc <= n)
+        for w in ws_chunk:  # static unroll: schedule differs per sweep
+            neigh = (
+                (ext[1:-1, :-2] + ext[1:-1, 2:]) + ext[:-2, 1:-1]
+            ) + ext[2:, 1:-1]
+            new = (rhs_ext[1:-1, 1:-1] + a * neigh) / bt
+            if w is not None:
+                wc = jnp.asarray(w, dt)
+                new = wc * new + (one - wc) * ext_m[1:-1, 1:-1]
+            new = jnp.pad(new, 1)  # rim garbage, outside validity
+            ext2 = jnp.where(interior, new, ext)
+            ext2 = _apply_bnd_coords(b, ext2, n, gr, gc)
+            ext_m, ext = ext, ext2
+        return ext_m[K:-K, K:-K], ext[K:-K, K:-K]
+
+    xm, x = x_init, x_init
+    done = 0
+    first = True
+    while done < iters:
+        s = min(K, iters - done)
+        ws_chunk = ws[done:done + s]
+        if first:
+            # x_0 doubles as x_{-1}; sweep 1 ignores it (w=None).
+            xm, x = chunk(x_init, x_init, ws_chunk)
+            first = False
+        else:
+            xm, x = chunk(xm, x, ws_chunk)
+        done += s
+    return x
+
+
+def _cheby_pressure_local(div, iters, rho, n, px, py):
+    """Sharded Chebyshev Poisson solve (zero guess) — the multi-chip twin
+    of ``ops.chebyshev.cheby_pressure_solve``."""
+    return _cheby_diffuse_local(0, jnp.zeros_like(div), div, 1.0, 4.0,
+                                iters, rho, n, px, py)
+
+
 # ---------------------------------------------------------------------------
 # Sharded pressure solvers beyond Jacobi (multigrid / CG inside shard_map)
 # ---------------------------------------------------------------------------
@@ -506,6 +572,10 @@ def _make_project_local(cfg: SimConfig, px: int, py: int):
     elif cfg.pressure_solver == "cg":
         def solve(div):
             return _cg_local(div, cfg.cg_iters, n, px, py)
+    elif cfg.pressure_solver == "chebyshev":
+        def solve(div):
+            return _cheby_pressure_local(div, cfg.cheby_iters,
+                                         cfg.cheby_rho, n, px, py)
     else:
         def solve(div):
             return _diffuse_local(0, jnp.zeros_like(div), div, 1.0, 4.0,
@@ -547,7 +617,9 @@ def _step_local_pallas(cfg: SimConfig, px: int, audited: bool,
     (``kernels.pallas_sharded``).  Same composition as ``_step_local``;
     advection is always windowed (the kernels' clamped-gather semantics).
     ``pressure_solver="multigrid"/"cg"`` compose the slab
-    divergence/gradient kernels with the sharded jnp solvers."""
+    divergence/gradient kernels with the sharded jnp solvers;
+    ``"chebyshev"`` keeps the fused slab kernels (one-call solve /
+    fused projection with Chebyshev sweeps, ``ops/chebyshev.py``)."""
     from ..kernels import pallas_sharded as ps
     from ..kernels.pallas_ops import _ceil8
 
@@ -600,35 +672,57 @@ def _step_local_pallas(cfg: SimConfig, px: int, audited: bool,
             remaining -= s
         return x
 
+    # Chebyshev pressure: the whole solve must fit in ONE slab call (the
+    # three-term recurrence would need x_{k-1} carried across halo
+    # exchanges otherwise) — cheby_iters <= ~10 fits a K=ceil8(iters+1)
+    # halo comfortably on any shard with m >= K.
+    cheby_p = cfg.pressure_solver == "chebyshev"
+    it_p = cfg.cheby_iters if cheby_p else it
+    rho_p = cfg.cheby_rho if cheby_p else None
+
     if cfg.pressure_solver == "multigrid":
         def solve(div):
             return _mg_local(div, cfg.mg_cycles, n, px, 1)
     elif cfg.pressure_solver == "cg":
         def solve(div):
             return _cg_local(div, cfg.cg_iters, n, px, 1)
+    elif cheby_p:
+        Kc = _ceil8(it_p + 1)
+        one_call = Kc <= m and ps.slab_supported(m, side)
+
+        def solve(div):
+            if not one_call:  # deep halo beyond the slab: jnp fallback
+                return _cheby_pressure_local(div, it_p, rho_p, n, px, 1)
+            rt, rb = _halo_rows(div, px, Kc)
+            div_ext = jnp.concatenate([rt, div, rb], axis=0)
+            return ps.fused_jacobi_slab(
+                0, div_ext, div_ext, flags, m=m, K=Kc, alpha=1.0,
+                beta=4.0, sweeps=it_p, zero_init=True, cheby_rho=rho_p,
+            )
     else:
         def solve(div):
             return diffuse(0, None, div, 1.0, 4.0, it, zero_init=True)
 
-    # Jacobi projections fuse div + sweeps + gradient into ONE slab kernel
-    # with ONE K-deep u/v halo exchange (p and div never leave VMEM) —
-    # the SPMD port of the unsharded fused projection, replacing three
-    # kernels and three exchanges.  mg/cg (and shapes with no viable
+    # Jacobi/Chebyshev projections fuse div + sweeps + gradient into ONE
+    # slab kernel with ONE K-deep u/v halo exchange (p and div never leave
+    # VMEM) — the SPMD port of the unsharded fused projection, replacing
+    # three kernels and three exchanges.  mg/cg (and shapes with no viable
     # fused strip) keep the composed path.
     use_fused_proj = (
-        cfg.pressure_solver == "jacobi"
-        and ps.project_slab_supported(m, side, it)
+        (cfg.pressure_solver == "jacobi" or cheby_p)
+        and ps.project_slab_supported(m, side, it_p)
     )
 
     def project(u, v):
         if use_fused_proj:
-            Kp = ps.project_slab_margin(it)
+            Kp = ps.project_slab_margin(it_p)
             ut, ub = _halo_rows(u, px, Kp)
             vt, vb = _halo_rows(v, px, Kp)
             u_ext = jnp.concatenate([ut, u, ub], axis=0)
             v_ext = jnp.concatenate([vt, v, vb], axis=0)
             return ps.fused_project_slab(u_ext, v_ext, flags, n=n,
-                                         iters=it, m=m, K=Kp)
+                                         iters=it_p, m=m, K=Kp,
+                                         cheby_rho=rho_p)
         vt, vb = _halo_rows(v, px, 8)
         div = ps.divergence_slab(u, v, vt, vb, flags, n)
         p = solve(div)

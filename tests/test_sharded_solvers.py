@@ -41,7 +41,7 @@ def _run(step_fn, state, sources, zeros, steps):
 
 
 @pytest.mark.slow
-@pytest.mark.parametrize("solver", ["cg", "multigrid"])
+@pytest.mark.parametrize("solver", ["cg", "multigrid", "chebyshev"])
 @pytest.mark.parametrize("mesh_shape", [(2, 2), (4, 1)])
 def test_sharded_solver_matches_single_device(solver, mesh_shape):
     """Sharded mg/cg on a multi-device mesh vs the SAME sharded algorithm
@@ -56,8 +56,10 @@ def test_sharded_solver_matches_single_device(solver, mesh_shape):
                     pressure_solver=solver, mg_cycles=2, cg_iters=12)
     state, sources = reference_init(jax.random.key(3), cfg)
     zeros = zero_sources(cfg)
-    if solver == "cg":
-        # Same algorithm sharded and unsharded — the stronger cross-check.
+    if solver in ("cg", "chebyshev"):
+        # Same algorithm sharded and unsharded — the stronger cross-check
+        # (``_cheby_pressure_local`` runs the same sweep/omega sequence as
+        # ``ops.chebyshev.cheby_pressure_solve``, chunked by halo depth).
         want = _run(make_step_fn(cfg), state, sources, zeros, 2)
     else:
         mesh1 = make_mesh(jax.devices()[:1], (1, 1))
@@ -137,9 +139,11 @@ def test_default_mesh_takes_pallas_slab_path():
 
 
 @pytest.mark.slow
-@pytest.mark.parametrize("solver", ["cg", "multigrid"])
+@pytest.mark.parametrize("solver", ["cg", "multigrid", "chebyshev"])
 def test_sharded_pallas_path_with_solver(solver):
-    """mg/cg compose with the Pallas slab kernels on a row mesh."""
+    """mg/cg compose with the Pallas slab kernels on a row mesh;
+    chebyshev stays INSIDE the slab kernels (one-call fused solve /
+    fused projection with Chebyshev sweeps)."""
     prev = pallas_ops.INTERPRET
     pallas_ops.INTERPRET = True
     try:
@@ -153,7 +157,7 @@ def test_sharded_pallas_path_with_solver(solver):
         state, sources = reference_init(jax.random.key(11), cfg)
         got = step(shard_state(state, mesh), shard_state(sources, mesh))
 
-        if solver == "cg":
+        if solver in ("cg", "chebyshev"):
             # Same algorithm sharded and unsharded — the stronger check.
             want = _run(make_step_fn(cfg), state, sources,
                         zero_sources(cfg), 1)
