@@ -44,13 +44,18 @@ def _add_common(p):
                    help="3 runs the smoke-volume solver (reference scenario "
                         "only; scenarios/PNG are 2-D)")
     p.add_argument("--pressure-solver", default="jacobi",
-                   choices=["jacobi", "multigrid", "cg"])
+                   choices=["jacobi", "multigrid", "cg", "chebyshev"])
+    p.add_argument("--fast-math", action="store_true",
+                   help="reciprocal-multiply Jacobi sweeps (~1 ulp/sweep "
+                        "from parity; pairs with --pressure-solver "
+                        "chebyshev for the bench.py perf mode)")
 
 
 def _cfg(args):
     return SimConfig(n=args.n, jacobi_iters=args.iters, backend=args.backend,
                      max_courant=args.cmax, dt=args.dt, visc=args.visc,
                      diff=args.diff, pressure_solver=args.pressure_solver,
+                     fast_math=getattr(args, "fast_math", False),
                      ndim=getattr(args, "ndim", 2))
 
 

@@ -131,14 +131,17 @@ class SimConfig:
             raise ValueError(f"unknown advect_mode {self.advect_mode!r}")
         if self.ndim not in (2, 3):
             raise ValueError("ndim must be 2 or 3")
-        if self.ndim == 3 and self.pressure_solver != "jacobi":
-            # The 3-D model is Jacobi-only; silently ignoring the knob
-            # would misreport the numerics actually run.
+        if self.ndim == 3 and self.pressure_solver not in ("jacobi",
+                                                           "chebyshev"):
+            # Silently ignoring the knob would misreport the numerics
+            # actually run.
             raise ValueError(
-                "pressure_solver='multigrid'/'cg'/'chebyshev' are 2-D "
-                "solvers; ndim=3 supports 'jacobi' only"
+                "pressure_solver='multigrid'/'cg' are 2-D solvers; "
+                "ndim=3 supports 'jacobi' and 'chebyshev'"
             )
         if self.ndim == 3 and self.diffusion_solver != "jacobi":
+            # The diffusion-swap validation frontier is empty in 2-D
+            # (PERFORMANCE.md finding 15); 3-D keeps the same policy.
             raise ValueError(
                 "diffusion_solver='chebyshev' is a 2-D solver; "
                 "ndim=3 supports 'jacobi' only"

@@ -59,8 +59,14 @@ _VMEM_LIMIT = 48 * 2**20
 _VMEM_BUDGET = 11 * 2**20
 _SWEEP_BUDGET = 36 * 2**20
 # Scoped-vmem cap for the sweep-window kernels (jacobi / projection / fused
-# dens).  96MB scratch is verified working on this chip; 64 leaves headroom.
-_SWEEP_KERNEL_CAP = 64 * 2**20
+# dens).  96MB scratch is verified working on this chip (same ceiling the
+# 3-D kernels clamp to).  64MB was the round-3 default until the 8192²
+# fused projection at chebyshev margins (iters=8 -> wr=160 strips) measured
+# a real 71MB scoped need — windows 36MB + pipelined out blocks 16MB +
+# Mosaic temps ~19MB — and compile-OOM'd; the gate's 7-buffer model
+# (_SWEEP_BUDGET) still decides strip heights, this cap only stops the
+# compiler from rejecting what the chip demonstrably runs.
+_SWEEP_KERNEL_CAP = 96 * 2**20
 
 
 def _cparams():

@@ -77,15 +77,16 @@ _JAC3_DMA_WEIGHT = 0.62
 
 
 def _jacobi3_need_hw(tz: int, wz: int, sweeps: int, side: int,
-                     nin: int) -> int:
+                     nin: int, nout: int = 1) -> int:
     """Modeled scoped-VMEM bytes for a sweep kernel with window ``wz``
     running ``sweeps`` fused sweeps: the planned buffers (nin
     double-buffered input windows + ping-pong sweep pair + Pallas's 2×
-    out block) plus Mosaic sweep temporaries ≈ 1.25·sweeps·wz planes —
-    fit to the 256³ compile pass/fail boundary (tz16/K3 passes at 68MB
-    cap, tz16/K5 fails at 74.5, tz32/K1 passes, tz32/K2 fails at 96)."""
+    out blocks × ``nout``) plus Mosaic sweep temporaries ≈ 1.25·sweeps·wz
+    planes — fit to the 256³ compile pass/fail boundary (tz16/K3 passes
+    at 68MB cap, tz16/K5 fails at 74.5, tz32/K1 passes, tz32/K2 fails at
+    96)."""
     pb = _plane_bytes(side)
-    bufs = ((2 * nin + 2) * wz + 2 * tz) * pb
+    bufs = ((2 * nin + 2) * wz + 2 * tz * nout) * pb
     # Affine temps model: a pure slope underfeeds mid-K (256³: tz16/s3
     # fails at a 70.5MB cap, passes at 76) while a pure flat headroom
     # underfeeds high-K (tz8/K5 needs >58).  16MB base + 1.25·K·wz
@@ -94,17 +95,19 @@ def _jacobi3_need_hw(tz: int, wz: int, sweeps: int, side: int,
     return bufs + temps
 
 
-def _jacobi3_need(tz: int, K: int, side: int, nin: int) -> int:
-    return _jacobi3_need_hw(tz, tz + 2 * (K + 1), K, side, nin)
+def _jacobi3_need(tz: int, K: int, side: int, nin: int,
+                  nout: int = 1) -> int:
+    return _jacobi3_need_hw(tz, tz + 2 * (K + 1), K, side, nin, nout)
 
 
-def _jacobi3_plan(side: int, max_fused: int):
+def _jacobi3_plan(side: int, max_fused: int, nin: int = 2, nout: int = 1):
     """(tz, K): z-strip height and sweeps per HBM round-trip minimizing
-    the calibrated cost wz/tz + 0.62·(2·wz + tz)/(tz·K) over plans whose
-    modeled VMEM need fits the verified 96MB ceiling.  tz is capped at
-    16: tz=32 measured SLOWER despite the lowest redundancy (325.7 vs
+    the calibrated cost wz/tz + 0.62·(nin·wz + nout·tz)/(tz·K) over plans
+    whose modeled VMEM need fits the verified 96MB ceiling.  tz is capped
+    at 16: tz=32 measured SLOWER despite the lowest redundancy (325.7 vs
     173.2 µs/sweep at 256³ — too few strips to keep the DMA pipeline
-    full).  Returns (None, None) if impossible."""
+    full).  ``nin=3, nout=2`` plans the Chebyshev chain kernel (x_{k-1}
+    window in, both iterates out).  Returns (None, None) if impossible."""
     best = None
     best_cost = None
     for tz in (16, 8, 4, 2, 1):
@@ -112,9 +115,11 @@ def _jacobi3_plan(side: int, max_fused: int):
             continue
         for K in range(max_fused, 0, -1):
             wz = tz + 2 * (K + 1)
-            if wz > side or _jacobi3_need(tz, K, side, 2) > _VMEM3_CEIL:
+            if wz > side or _jacobi3_need(tz, K, side, nin,
+                                          nout) > _VMEM3_CEIL:
                 continue
-            cost = wz / tz + _JAC3_DMA_WEIGHT * (2 * wz + tz) / (tz * K)
+            cost = wz / tz + _JAC3_DMA_WEIGHT * (
+                (nin * wz + nout * tz) / (tz * K))
             if best is None or cost < best_cost:
                 best, best_cost = (tz, K), cost
     return best if best is not None else (None, None)
@@ -133,10 +138,11 @@ def supports3(side: int) -> bool:
 
 
 def _jacobi3_kernel(
-    x_hbm, rhs_hbm, out_ref, *scratch,
+    *refs,
     b: int, alpha: float, beta: float, sweeps: int,
     tz: int, wz: int, side: int, zero_init: bool, zm: int, nstrips: int,
-    fast: bool,
+    fast: bool, ws: tuple | None = None, carry_in: bool = False,
+    carry_out: bool = False,
 ):
     # zero_init skips the x-input DMA stream (the guess is zeros).  The
     # xs2 scratch stays ALLOCATED either way: dropping it was probed and
@@ -144,7 +150,28 @@ def _jacobi3_kernel(
     # not buffer planes, and the reduced-scratch variant compiled
     # erratically (256³ probe: zi K=2,3 fail where K=4,5 pass) while the
     # full-scratch layout tracks the calibrated need model.
-    xs2, rhs2, buf_b, buf_c, sems = scratch
+    #
+    # Chebyshev chain mode (``ws`` set): per-sweep w factors are static
+    # floats (None = plain sweep); ``carry_in`` DMAs the x_{k-1} volume
+    # into the ping-pong partner so the three-term combine continues
+    # across HBM round-trips; ``carry_out`` writes BOTH final iterates so
+    # the next call can keep the recurrence.
+    if carry_in:
+        x_hbm, xm_hbm, rhs_hbm = refs[:3]
+        idx = 3
+    else:
+        x_hbm, rhs_hbm = refs[:2]
+        xm_hbm = None
+        idx = 2
+    out_ref = refs[idx]
+    idx += 1
+    outp_ref = refs[idx] if carry_out else None
+    idx += 1 if carry_out else 0
+    if carry_in:
+        xs2, xm2, rhs2, buf_b, buf_c, sems = refs[idx:]
+    else:
+        xs2, rhs2, buf_b, buf_c, sems = refs[idx:]
+        xm2 = None
     gi = pl.program_id(0)
     slot = jax.lax.rem(gi, 2)
 
@@ -161,6 +188,13 @@ def _jacobi3_kernel(
                 pltpu.make_async_copy(
                     x_hbm.at[pl.ds(start_, wz)], xs2.at[slot_],
                     sems.at[slot_, 1],
+                )
+            )
+        if carry_in:
+            cps.append(
+                pltpu.make_async_copy(
+                    xm_hbm.at[pl.ds(start_, wz)], xm2.at[slot_],
+                    sems.at[slot_, 2],
                 )
             )
         return cps
@@ -184,6 +218,8 @@ def _jacobi3_kernel(
         buf_c[:] = jnp.zeros((wz, side, side), dt)
     else:
         buf_c[:] = xs2[slot]
+    if carry_in:
+        buf_b[:] = xm2[slot]  # x_{k-1}: dst of the first chained sweep
     rhs_buf = rhs2.at[slot]
     if fast:
         rhs_buf[:] = rhs_buf[:] * jnp.asarray(1.0 / beta, dt)
@@ -230,7 +266,7 @@ def _jacobi3_kernel(
         & (start + wz == side)
     )
 
-    def sweep(src, dst, fold: bool):
+    def sweep(src, dst, fold: bool, w=None):
         s = src[:].reshape(L, side)
         sL = pltpu.roll(s, 1, 1)
         sR = pltpu.roll(s, side - 1, 1)
@@ -250,22 +286,41 @@ def _jacobi3_kernel(
             d2 = rhs_buf[:].reshape(L, side) + ab_c * neigh
         else:
             d2 = (rhs_buf[:].reshape(L, side) + a_c * neigh) / b_c
+        if w is not None:  # Chebyshev three-term combine (pallas_ops
+            # _sweep_loop invariant: dst holds x_{k-1}, pointwise)
+            wc = jnp.asarray(w, dt)
+            d2 = wc * d2 + (jnp.asarray(1.0, dt) - wc) * dst[:].reshape(
+                L, side)
         dst[:] = d2.reshape(wz, side, side)
 
-    sweep(buf_c, buf_b, False)  # sweep 1: raw guess ghost (jnp semantics)
+    if ws is None:
+        sweep(buf_c, buf_b, False)  # sweep 1: raw guess ghost (jnp spec)
 
-    def double_sweep(_, carry):
-        sweep(buf_b, buf_c, True)
-        sweep(buf_c, buf_b, True)
-        return carry
+        def double_sweep(_, carry):
+            sweep(buf_b, buf_c, True)
+            sweep(buf_c, buf_b, True)
+            return carry
 
-    rem = sweeps - 1
-    jax.lax.fori_loop(0, rem // 2, double_sweep, 0)
-    if rem % 2:
-        sweep(buf_b, buf_c, True)
-        final = buf_c
+        rem = sweeps - 1
+        jax.lax.fori_loop(0, rem // 2, double_sweep, 0)
+        if rem % 2:
+            sweep(buf_b, buf_c, True)
+            final = buf_c
+        else:
+            final = buf_b
+        prev = None
     else:
-        final = buf_b
+        # Static unroll (<= K sweeps/call): the per-sweep w's differ, and
+        # the temporaries model already charges 1.25·sweeps·wz planes.
+        # The global first sweep keeps the unfolded raw-guess ghost quirk;
+        # chained calls re-enter folded (the previous call's epilogue
+        # derived faces = exactly what a folded read computes).
+        cur, oth = buf_c, buf_b
+        for i, w in enumerate(ws):
+            sweep(cur, oth, carry_in or i > 0, w)
+            cur, oth = oth, cur
+        final = cur
+        prev = oth
 
     # Epilogue: derive the ghost FACES once from the converged interior
     # (the per-sweep rewrite this replaces cost 2 rolls/sweep; callers
@@ -287,6 +342,13 @@ def _jacobi3_kernel(
 
     off = gi * tz - start  # dynamic, leading dim: no alignment constraint
     out_ref[:] = final[pl.ds(off, tz)]
+    if carry_out:
+        # x_{k+s-1} for the next chained call's combine.  No face
+        # derivation: the combine reads it POINTWISE (the folded stencil
+        # never reads ghost faces, and every face of the final result is
+        # re-derived by the last call's epilogue above), and its validity
+        # at the output planes exceeds final's by one sweep.
+        outp_ref[:] = prev[pl.ds(off, tz)]
 
 
 def fused_jacobi3(
@@ -300,11 +362,42 @@ def fused_jacobi3(
     zero_init: bool = False,
     max_fused: int = 10,
     fast: bool = False,
+    cheby_rho: float | None = None,
 ) -> jnp.ndarray:
     """``iters`` 6-neighbor Jacobi sweeps (semantics of
     ``ops.three_d.diffuse3`` minus the final full ghost-layer derivation —
-    call ``set_bnd3`` on the result)."""
+    call ``set_bnd3`` on the result).  ``cheby_rho`` switches to
+    Chebyshev-accelerated sweeps (``ops/chebyshev.py:cheby_diffuse3``
+    semantics): unlike the 2-D one-call kernels, the 3-D solve spans
+    several HBM round-trips, so the chain carries x_{k-1} across calls
+    (both iterates written per call, x_{k-1} window DMA'd back in) and
+    the w schedule is sliced per call as static constants."""
     side = x0.shape[-1]
+    if cheby_rho is not None:
+        from ..ops.chebyshev import cheby_omegas
+
+        tz, K = _jacobi3_plan(side, min(max_fused, iters), nin=3, nout=2)
+        assert tz is not None, f"unsupported 3-D side {side} (cheby)"
+        ws_all = [None] + [float(w) for w in
+                           cheby_omegas(float(cheby_rho), iters)]
+        x, xm = x_init, None
+        done = 0
+        first = True
+        while done < iters:
+            s = min(K, iters - done)
+            ws = tuple(ws_all[done:done + s])
+            last = done + s >= iters
+            res = _fused_jacobi3_cheby_call(
+                b, x, xm, x0, float(alpha), float(beta), ws, tz, side,
+                zero_init and first, fast, xm is not None, not last,
+            )
+            if last:
+                x = res
+            else:
+                x, xm = res
+            done += s
+            first = False
+        return x
     tz, K = _jacobi3_plan(side, min(max_fused, iters))
     assert tz is not None, f"unsupported 3-D side {side}"
     x = x_init
@@ -366,6 +459,58 @@ def _fused_jacobi3_call(b, x, x0, alpha, beta, sweeps, tz, side, zero_init,
             )
         ),
     )(x, x0)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("b", "alpha", "beta", "ws", "tz", "side",
+                     "zero_init", "fast", "carry_in", "carry_out"),
+)
+def _fused_jacobi3_cheby_call(b, x, xm, x0, alpha, beta, ws, tz, side,
+                              zero_init, fast, carry_in, carry_out):
+    """One chained Chebyshev segment: ``len(ws)`` sweeps with static w
+    factors; DMAs x (and x_{k-1} when ``carry_in``), returns the final
+    iterate (and the one before it when ``carry_out``)."""
+    sweeps = len(ws)
+    zm = sweeps + 1
+    wz = tz + 2 * zm
+    assert wz <= side, "fused 3-D window exceeds volume"
+    nstrips = side // tz
+    kernel = functools.partial(
+        _jacobi3_kernel, b=b, alpha=alpha, beta=beta, sweeps=sweeps,
+        tz=tz, wz=wz, side=side, zero_init=zero_init, zm=zm,
+        nstrips=nstrips, fast=fast, ws=ws, carry_in=carry_in,
+        carry_out=carry_out,
+    )
+    vol = jax.ShapeDtypeStruct((side, side, side), x0.dtype)
+    blk = pl.BlockSpec((tz, side, side), lambda gi: (gi, 0, 0),
+                       memory_space=pltpu.VMEM)
+    nin = 3 if carry_in else 2
+    scratch = [pltpu.VMEM((2, wz, side, side), x0.dtype)
+               for _ in range(nin)]
+    scratch += [
+        pltpu.VMEM((wz, side, side), x0.dtype),
+        pltpu.VMEM((wz, side, side), x0.dtype),
+        pltpu.SemaphoreType.DMA((2, 3 if carry_in else 2)),
+    ]
+    operands = (x, xm, x0) if carry_in else (x, x0)
+    out = pl.pallas_call(
+        kernel,
+        grid=(nstrips,),
+        out_shape=(vol, vol) if carry_out else vol,
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * nin,
+        out_specs=(blk, blk) if carry_out else blk,
+        scratch_shapes=scratch,
+        interpret=_interpret(),
+        compiler_params=None if _interpret() else pltpu.CompilerParams(
+            vmem_limit_bytes=min(
+                _VMEM3_CEIL,
+                _jacobi3_need_hw(tz, wz, sweeps, side, nin,
+                                 2 if carry_out else 1),
+            )
+        ),
+    )(*operands)
+    return out
 
 
 # ---------------------------------------------------------------------------

@@ -38,8 +38,10 @@ def batched_init(key: jax.Array, cfg: SimConfig, batch: int):
 def _use_batched_pallas(cfg: SimConfig) -> bool:
     """The Pallas kernels are batch-polymorphic (batch = leading grid dim),
     so batched state runs through them DIRECTLY — vmap is neither needed nor
-    possible (ANY-memory blocks reject JAX batching)."""
-    if cfg.pressure_solver != "jacobi":
+    possible (ANY-memory blocks reject JAX batching).  Chebyshev solves run
+    the same batch-polymorphic kernels (``_sweep_loop``); mg/cg are jnp
+    solvers that need the vmapped path."""
+    if cfg.pressure_solver not in ("jacobi", "chebyshev"):
         return False
     from ..kernels.dispatch import _on_tpu, _pallas_supported
 

@@ -114,6 +114,11 @@ class _Ops3:
 
     def project(self, u, v, w, iters):
         cfg = self.cfg
+        if cfg.pressure_solver == "chebyshev":
+            iters = cfg.cheby_iters
+            rho = cfg.cheby_rho
+        else:
+            rho = None
         if self.pallas:
             from ..kernels import pallas_ops_3d as k3
 
@@ -123,10 +128,17 @@ class _Ops3:
             # full ghost layer.
             div = k3.divergence3_p(u, v, w, cfg.n)
             p = k3.fused_jacobi3(0, div, div, 1.0, 6.0, iters,
-                                 zero_init=True)
+                                 zero_init=True, fast=cfg.fast_math,
+                                 cheby_rho=rho)
             gu, gv, gw = k3.gradient3_p(u, v, w, p, cfg.n)
             return (o3.set_bnd3(1, gu), o3.set_bnd3(2, gv),
                     o3.set_bnd3(3, gw))
+        if rho is not None:
+            from ..ops.chebyshev import cheby_pressure_solve3
+
+            div = o3.divergence3(u, v, w, cfg.n)
+            p = cheby_pressure_solve3(div, iters, rho)
+            return o3.apply_pressure_gradient3(u, v, w, p, cfg.n)
         return o3.project3(u, v, w, cfg.n, iters)
 
 

@@ -37,7 +37,13 @@ import jax.numpy as jnp
 from .boundary import embed_interior
 from .diffuse import jacobi_sweep
 
-__all__ = ["cheby_omegas", "cheby_diffuse", "cheby_pressure_solve"]
+__all__ = [
+    "cheby_omegas",
+    "cheby_diffuse",
+    "cheby_pressure_solve",
+    "cheby_diffuse3",
+    "cheby_pressure_solve3",
+]
 
 
 def cheby_omegas(rho: float, iters: int) -> tuple[float, ...]:
@@ -84,3 +90,47 @@ def cheby_pressure_solve(div: jnp.ndarray, iters: int, rho: float) -> jnp.ndarra
     """Chebyshev Poisson solve from the zero guess (perf-mode twin of
     ``ops.project.pressure_solve``)."""
     return cheby_diffuse(0, jnp.zeros_like(div), div, 1.0, 4.0, iters, rho)
+
+
+def cheby_diffuse3(
+    b: int,
+    x_init: jnp.ndarray,
+    x0: jnp.ndarray,
+    alpha: float,
+    beta: float,
+    iters: int,
+    rho: float,
+) -> jnp.ndarray:
+    """3-D twin of :func:`cheby_diffuse` (6-neighbor sweep, semantics of
+    ``ops.three_d.diffuse3``): ghost FACES re-derived from the combined
+    interior after every iterate (the stencil never reads ghost edges or
+    corners), full ghost layer derived once at the end."""
+    from .three_d import embed_faces3, embed_interior3
+
+    dt = x0.dtype
+    a = jnp.asarray(alpha, dt)
+    bt = jnp.asarray(beta, dt)
+    rhs = x0[1:-1, 1:-1, 1:-1]
+    one = jnp.asarray(1.0, dt)
+
+    def sweep(x):
+        neigh = (
+            ((x[1:-1, 1:-1, :-2] + x[1:-1, 1:-1, 2:])
+             + (x[1:-1, :-2, 1:-1] + x[1:-1, 2:, 1:-1]))
+            + (x[:-2, 1:-1, 1:-1] + x[2:, 1:-1, 1:-1])
+        )
+        return embed_faces3(b, (rhs + a * neigh) / bt)
+
+    xm = x_init
+    x = sweep(xm)
+    for w in cheby_omegas(rho, iters):
+        wc = jnp.asarray(w, dt)
+        xn = wc * sweep(x) + (one - wc) * xm
+        xm, x = x, embed_faces3(b, xn[1:-1, 1:-1, 1:-1])
+    return embed_interior3(b, x[1:-1, 1:-1, 1:-1])
+
+
+def cheby_pressure_solve3(div: jnp.ndarray, iters: int, rho: float) -> jnp.ndarray:
+    """3-D Chebyshev Poisson solve from the zero guess (perf-mode twin of
+    ``ops.three_d.pressure_solve3``)."""
+    return cheby_diffuse3(0, jnp.zeros_like(div), div, 1.0, 6.0, iters, rho)

@@ -96,6 +96,50 @@ def test_jacobi3_multi_chunk(rng):
                                rtol=0, atol=1e-5)
 
 
+@pytest.mark.slow
+def test_jacobi3_cheby_matches_spec(rng):
+    """Chebyshev chain kernel vs the jnp spec (``ops/chebyshev.py``),
+    both diffusion (raw-guess first-sweep quirk) and zero-init pressure."""
+    from fluidsimulationcuda_tpu.kernels import pallas_ops_3d as k3
+    from fluidsimulationcuda_tpu.ops.chebyshev import (
+        cheby_diffuse3, cheby_pressure_solve3,
+    )
+
+    x, x0 = vol(rng), vol(rng)
+    for b in (0, 1):
+        ref = cheby_diffuse3(b, x, x0, 0.3, 2.8, 8, 0.95)
+        got = o3.set_bnd3(
+            b, k3.fused_jacobi3(b, x, x0, 0.3, 2.8, 8, cheby_rho=0.95)
+        )
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=0, atol=1e-5, err_msg=f"b={b}")
+    div = vol(rng)
+    ref = cheby_pressure_solve3(div, 8, 0.99)
+    got = o3.set_bnd3(0, k3.fused_jacobi3(0, div, div, 1.0, 6.0, 8,
+                                          zero_init=True, cheby_rho=0.99))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=0, atol=1e-5)
+
+
+@pytest.mark.slow
+def test_jacobi3_cheby_cross_call_carry(rng):
+    """Forcing the chain through several HBM round-trips (max_fused=3 ->
+    3+3+2 calls) must match the jnp spec exactly like the one-shot chain:
+    the x_{k-1} carry across calls is the whole point of the chain
+    kernel's second output."""
+    from fluidsimulationcuda_tpu.kernels import pallas_ops_3d as k3
+    from fluidsimulationcuda_tpu.ops.chebyshev import cheby_diffuse3
+
+    x, x0 = vol(rng), vol(rng)
+    ref = cheby_diffuse3(1, x, x0, 0.3, 2.8, 8, 0.9)
+    got = o3.set_bnd3(
+        1, k3.fused_jacobi3(1, x, x0, 0.3, 2.8, 8, cheby_rho=0.9,
+                            max_fused=3)
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=0, atol=1e-5)
+
+
 def test_divergence3_and_gradient3(rng):
     from fluidsimulationcuda_tpu.kernels import pallas_ops_3d as k3
 
@@ -170,6 +214,36 @@ def test_step3_pallas_matches_jnp(rng):
                       max_courant=2)
     cfg_r = cfg_p.replace(backend="reference")
     k = jax.random.split(jax.random.key(0), 4)
+    shape = (SIDE,) * 3
+    src = Sources(
+        dens=jax.random.uniform(k[0], shape, jnp.float32),
+        u=jax.random.uniform(k[1], shape, jnp.float32, -1, 1) * 0.1,
+        v=jax.random.uniform(k[2], shape, jnp.float32, -1, 1) * 0.1,
+        w=jax.random.uniform(k[3], shape, jnp.float32, -1, 1) * 0.1,
+    )
+    zeros = jnp.zeros(shape, jnp.float32)
+    state = FluidState(dens=zeros, u=zeros, v=zeros, w=zeros)
+    sp = functools.partial(step3, cfg_p)(state, src)
+    sr = functools.partial(step3, cfg_r)(state, src)
+    for name in ("dens", "u", "v", "w"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(sp, name)), np.asarray(getattr(sr, name)),
+            rtol=0, atol=2e-5, err_msg=name,
+        )
+
+
+@pytest.mark.slow
+def test_step3_chebyshev_pallas_matches_jnp(rng):
+    """3-D perf-mode pressure (chebyshev) through the model dispatch:
+    pallas chain kernel == jnp spec at the step level."""
+    from fluidsimulationcuda_tpu.core.state import FluidState, Sources
+    from fluidsimulationcuda_tpu.models.stable_fluids_3d import step3
+
+    cfg_p = SimConfig(n=N, ndim=3, jacobi_iters=5, backend="pallas",
+                      max_courant=2, pressure_solver="chebyshev",
+                      cheby_iters=6, cheby_rho=0.95)
+    cfg_r = cfg_p.replace(backend="reference")
+    k = jax.random.split(jax.random.key(1), 4)
     shape = (SIDE,) * 3
     src = Sources(
         dens=jax.random.uniform(k[0], shape, jnp.float32),
