@@ -69,6 +69,28 @@ def main():
           f"({cells/t_sh/1e6:.0f} Mcell/s)")
     print(f"ratio: {t_base/t_sh*100:.1f}% of unsharded throughput")
 
+    # Chebyshev perf mode through the slab kernels (one-call solve /
+    # fused projection with the three-term combine), compiled Mosaic vs
+    # the unsharded chebyshev step — interpret-mode CI cannot see
+    # lowering bugs in the w-scheduled read-modify-write.
+    cfg_c = cfg.replace(pressure_solver="chebyshev", fast_math=True)
+    base_c = make_step_fn(cfg_c)
+    out_bc = base_c(state, sources)
+    jax.block_until_ready(out_bc)
+    sh_c = make_sharded_step_fn(cfg_c, mesh, advect_mode="windowed",
+                                shard_backend="pallas")
+    out_sc = sh_c(sst, ssrc)
+    jax.block_until_ready(out_sc)
+    for name in ("dens", "u", "v"):
+        a = np.asarray(getattr(out_bc, name))
+        b = np.asarray(getattr(out_sc, name))
+        d = np.abs(a - b).max()
+        print(f"cheby parity {name}: max|d| = {d:.3e} "
+              f"(finite={np.isfinite(b).all()})")
+    t_shc = wallclock(sh_c, sst, ssrc, reps=3, chain=8)
+    print(f"1x1 shard_map pallas chebyshev: {t_shc*1e3:.2f} ms/step "
+          f"({cells/t_shc/1e6:.0f} Mcell/s)")
+
 
 if __name__ == "__main__":
     main()

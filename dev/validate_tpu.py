@@ -119,6 +119,24 @@ def compiled_differential(n=2046, iters=20):
     d = max(maxd(pu, ju), maxd(pv, jv))
     check("diff fused projection compiled vs jnp", d < 1e-5, f"{d:.2e}")
 
+    # Chebyshev sweeps (the perf-mode headline path): same kernels, w-
+    # scheduled read-modify-write combine — compiled Mosaic lowering of
+    # the scalar-carried fori recurrence.
+    from fluidsimulationcuda_tpu.ops.chebyshev import (
+        cheby_diffuse, cheby_pressure_solve,
+    )
+
+    refc = cheby_diffuse(1, u, x0, alpha, beta, 8, 0.99)
+    d = maxd(po.fused_jacobi(1, u, x0, alpha, beta, 8, cheby_rho=0.99),
+             refc)
+    check("diff cheby jacobi compiled vs jnp", d < 1e-5, f"{d:.2e}")
+    cu, cv = po.fused_project(u, v, n, 8, cheby_rho=0.99)
+    pc = cheby_pressure_solve(div, 8, 0.99)
+    cju, cjv = apg_ref(u, v, pc, n)
+    d = max(maxd(cu, cju), maxd(cv, cjv))
+    check("diff cheby fused projection compiled vs jnp", d < 1e-5,
+          f"{d:.2e}")
+
     # Advection: random velocities exercise every masked-shift term and the
     # clamp boundaries; plus a constant-displacement sweep over the window.
     refa = advect_windowed(0, x0, u, v, dt, n, cmax)
@@ -292,6 +310,17 @@ def three_d_differential(side=128, iters=20, perf_budget_ms=15.0):
     dv = o3.set_bnd3(0, k3.divergence3_p(u, v, w, n))
     d = maxd(dv, o3.divergence3(u, v, w, n))
     check(f"diff 3-D divergence compiled vs jnp @{side}", d < 1e-5, f"{d:.2e}")
+
+    # Chebyshev chain across HBM round-trips (perf mode): the cross-call
+    # x_{k-1} carry is exactly the kind of multi-output DMA pipeline that
+    # only compiled Mosaic can mis-lower.
+    from fluidsimulationcuda_tpu.ops.chebyshev import cheby_pressure_solve3
+
+    got = o3.set_bnd3(0, k3.fused_jacobi3(0, x0, x0, 1.0, 6.0, 8,
+                                          zero_init=True, cheby_rho=0.99))
+    d = maxd(got, cheby_pressure_solve3(x0, 8, 0.99))
+    check(f"diff 3-D cheby chain compiled vs jnp @{side}", d < 1e-5,
+          f"{d:.2e}")
 
     # Audited step perf: the trajectory displacement is ~0.03 cells, so the
     # cubic-cost gather runs its smallest window, provably exact.

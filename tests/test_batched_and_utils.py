@@ -128,6 +128,35 @@ def test_batched_pallas_kernels_match_vmapped_reference():
         pallas_ops.INTERPRET = prev_interpret
 
 
+def test_batched_pallas_chebyshev_matches_vmapped_reference():
+    """Chebyshev pressure stays on the batch-polymorphic pallas path
+    (``_use_batched_pallas`` admits it) and matches the vmapped jnp spec."""
+    from fluidsimulationcuda_tpu.kernels import pallas_ops
+    from fluidsimulationcuda_tpu.models.batched import _use_batched_pallas
+    from fluidsimulationcuda_tpu.models.stable_fluids_2d import step
+    import functools
+
+    prev_interpret = pallas_ops.INTERPRET
+    pallas_ops.INTERPRET = True
+    try:
+        cfg_p = SimConfig(n=30, jacobi_iters=6, backend="pallas",
+                          max_courant=2, pressure_solver="chebyshev",
+                          cheby_iters=5, cheby_rho=0.95)
+        assert _use_batched_pallas(cfg_p)
+        cfg_r = cfg_p.replace(backend="reference")
+        states, sources = batched_init(jax.random.key(6), cfg_r, 3)
+        got = functools.partial(step, cfg_p)(states, sources)
+        want = jax.vmap(functools.partial(step, cfg_r))(states, sources)
+        for name in ("dens", "u", "v"):
+            np.testing.assert_allclose(
+                np.asarray(getattr(got, name)),
+                np.asarray(getattr(want, name)),
+                rtol=1e-5, atol=2e-5, err_msg=name,
+            )
+    finally:
+        pallas_ops.INTERPRET = prev_interpret
+
+
 def test_generate_trajectories_snapshot_cadence_non_multiple():
     """num_steps not a multiple of snapshot_every: floor(num/every) snaps."""
     cfg = SimConfig(n=14, jacobi_iters=4, backend="reference")
