@@ -1,7 +1,8 @@
 """Benchmark harness — prints the headline JSON line (first), then a
-clearly-labeled performance-mode line (Chebyshev-accelerated pressure
-sweeps + fast_math by default — see ``--perf-solver`` — divergence-
-validated against the parity solve on the same trajectory).
+clearly-labeled performance-mode line (Chebyshev-accelerated pressure +
+density sweeps + fast_math by default — see ``--perf-solver`` —
+divergence- and residual-validated against the parity solves live on
+every run).
 
 Headline (BASELINE.json): full-step throughput in Mcell-updates/s at 2048²
 (n = 2046, padded side 2048 — same padding convention as the reference's
@@ -218,6 +219,55 @@ def audit_diffusion_residual(cfg: SimConfig, state, steps: int) -> tuple:
     return worst, worst_pair
 
 
+def audit_dens_residual(cfg: SimConfig, state, steps: int,
+                        forcing: float = 0.05) -> tuple:
+    """Worst density-solve residual ratio (chebyshev-``cheby_dens_iters``
+    / jacobi-``jacobi_iters``) along a continuous-forcing twin of the
+    trajectory — the bar for the "chebyshev-dens" diffusion swap.  The
+    decay trajectory's density is extinct (~1e-34 sup) by the timed
+    steady state, so its ratio compares denormal noise; under forcing the
+    density solve does real work (``dev/bench_r3p_denscheby.py``: k=10 /
+    rho=0.99 measured 0.77x the jacobi-20 bar there)."""
+    from fluidsimulationcuda_tpu.ops.chebyshev import cheby_diffuse
+    from fluidsimulationcuda_tpu.ops.diffuse import diffuse
+
+    alpha = cfg.diffusion_alpha_diff
+    beta = 1.0 + 4.0 * alpha
+    # The forcing twin displaces ~1.5 cells — widen the window so the
+    # sampled density fields are unclamped.
+    cfg = dataclasses.replace(cfg, max_courant=max(cfg.max_courant, 2))
+    _, sources = reference_init(jax.random.key(0), cfg)
+    drive = jax.tree.map(lambda s: forcing * s, sources)
+    step_fn = make_step_fn(cfg)
+
+    @jax.jit
+    def ratio(dens, drive_dens):
+        # drive_dens is an ARGUMENT, not a closure capture: a captured
+        # array is baked into the program as a constant, and at 8192²
+        # that 268 MB constant overflows the remote-compile request.
+        rhs = dens + jnp.float32(cfg.dt) * drive_dens
+
+        def resid(x):
+            nb = ((x[1:-1, :-2] + x[1:-1, 2:]) + x[:-2, 1:-1]) + x[2:, 1:-1]
+            r = (jnp.float32(beta) * x[1:-1, 1:-1] - rhs[1:-1, 1:-1]
+                 - jnp.float32(alpha) * nb)
+            return jnp.max(jnp.abs(r))
+
+        rj = resid(diffuse(0, rhs, rhs, alpha, beta, cfg.jacobi_iters))
+        rc = resid(cheby_diffuse(0, rhs, rhs, alpha, beta,
+                                 cfg.cheby_dens_iters, cfg.cheby_rho))
+        return rc, rj
+
+    worst, worst_pair = 0.0, (0.0, 0.0)
+    for _ in range(steps):
+        state = step_fn(state, drive)
+        rc, rj = ratio(state.dens, drive.dens)
+        rc, rj = float(rc), float(rj)
+        if rj > 0 and rc / rj > worst:
+            worst, worst_pair = rc / rj, (rc, rj)
+    return worst, worst_pair
+
+
 def perf_mode_line(cfg: SimConfig, steps: int, headline_mcells: float,
                    solver: str = "chebyshev") -> dict:
     """Measure the performance-mode step at the headline grid, validated
@@ -250,6 +300,18 @@ def perf_mode_line(cfg: SimConfig, steps: int, headline_mcells: float,
             fast_math=True)
         label = (f"chebyshev-{perf_cfg.cheby_iters} ALL solves "
                  f"(rho={perf_cfg.cheby_rho}) + fast_math")
+    elif solver == "chebyshev+dens":
+        # Pressure swap (divergence-validated as below) PLUS the density
+        # solve on Chebyshev (velocity trajectory identical to the
+        # pressure-only mode by construction — density feeds no
+        # divergence); the density swap is validated by its own residual
+        # bar on a forcing twin (audit_dens_residual).
+        perf_cfg = dataclasses.replace(
+            cfg, pressure_solver="chebyshev",
+            diffusion_solver="chebyshev-dens", fast_math=True)
+        label = (f"chebyshev-{perf_cfg.cheby_iters} pressure + "
+                 f"chebyshev-{perf_cfg.cheby_dens_iters} dens "
+                 f"(rho={perf_cfg.cheby_rho}) + fast_math")
     else:
         perf_cfg = dataclasses.replace(
             cfg, pressure_solver="chebyshev", fast_math=True)
@@ -272,6 +334,16 @@ def perf_mode_line(cfg: SimConfig, steps: int, headline_mcells: float,
         rec["diffusion_residual_ratio"] = round(ratio, 3)
         rec["diffusion_ok"] = bool(ratio <= 1.0)
         print(f"perf-mode diffusion residual: cheby {rc:.3e} vs "
+              f"jacobi-{cfg.jacobi_iters} {rj:.3e} (worst ratio "
+              f"{ratio:.3f})", file=sys.stderr)
+    elif solver == "chebyshev+dens":
+        ratio, (rc, rj) = audit_dens_residual(cfg, state, val_steps)
+        rec["dens_residual_ratio"] = round(ratio, 3)
+        rec["dens_ok"] = bool(ratio <= 1.0)
+        rec["dens_residual_trajectory"] = \
+            "continuous forcing x0.05 (the decay density is extinct)"
+        print(f"perf-mode dens residual (forcing twin): "
+              f"cheby-{cfg.cheby_dens_iters} {rc:.3e} vs "
               f"jacobi-{cfg.jacobi_iters} {rj:.3e} (worst ratio "
               f"{ratio:.3f})", file=sys.stderr)
     sec = bench_step(perf_cfg, steps=steps)
@@ -299,10 +371,13 @@ def main() -> None:
     ap.add_argument("--backend", default="auto")
     ap.add_argument("--no-perf-mode", action="store_true",
                     help="skip the second (perf-mode) JSON line")
-    ap.add_argument("--perf-solver", default="chebyshev",
-                    choices=("chebyshev", "chebyshev-all", "multigrid"),
-                    help="solver for the perf-mode line: chebyshev "
-                         "(pressure-only, divergence-validated, default), "
+    ap.add_argument("--perf-solver", default="chebyshev+dens",
+                    choices=("chebyshev", "chebyshev+dens", "chebyshev-all",
+                             "multigrid"),
+                    help="solver for the perf-mode line: chebyshev+dens "
+                         "(pressure + density solves, divergence + "
+                         "dens-residual validated, default), chebyshev "
+                         "(pressure-only, divergence-validated), "
                          "chebyshev-all (all five solves, fastest, fails "
                          "the divergence bar — labeled), or multigrid")
     ap.add_argument("--cmax", default="auto",

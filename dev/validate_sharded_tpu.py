@@ -69,11 +69,13 @@ def main():
           f"({cells/t_sh/1e6:.0f} Mcell/s)")
     print(f"ratio: {t_base/t_sh*100:.1f}% of unsharded throughput")
 
-    # Chebyshev perf mode through the slab kernels (one-call solve /
-    # fused projection with the three-term combine), compiled Mosaic vs
-    # the unsharded chebyshev step — interpret-mode CI cannot see
-    # lowering bugs in the w-scheduled read-modify-write.
-    cfg_c = cfg.replace(pressure_solver="chebyshev", fast_math=True)
+    # Default perf mode through the slab kernels (one-call cheby pressure
+    # / fused projection with the three-term combine, plus the
+    # chebyshev-dens one-call diffusion solve), compiled Mosaic vs the
+    # unsharded step — interpret-mode CI cannot see lowering bugs in the
+    # w-scheduled read-modify-write.
+    cfg_c = cfg.replace(pressure_solver="chebyshev",
+                        diffusion_solver="chebyshev-dens", fast_math=True)
     base_c = make_step_fn(cfg_c)
     out_bc = base_c(state, sources)
     jax.block_until_ready(out_bc)

@@ -173,6 +173,20 @@ def compiled_differential(n=2046, iters=20):
         check(f"diff fused dens step compiled vs composed (cmax={cm})",
               d < 1e-5, f"{d:.2e}")
 
+    # chebyshev-dens path: the fused dens kernel with the w-scheduled
+    # combine and a raw (non-zero) guess — the default perf mode's dens
+    # solve, compiled.
+    alpha_d = 0.8
+    beta_d = 1.0 + 4 * alpha_d
+    dd = po.fused_jacobi(0, u, x0 + np.float32(dt) * u, alpha_d, beta_d,
+                         10, cheby_rho=0.99)
+    want = po.advect_shift(0, dd, u, v, dt, n, cmax=1)
+    got = po.fused_dens_advect(0, u, x0, u, v, alpha_d, beta_d, 10,
+                               dt, n, cmax=1, cheby_rho=0.99)
+    d = maxd(got, want)
+    check("diff fused dens step cheby compiled vs composed", d < 1e-5,
+          f"{d:.2e}")
+
     # Batched leading dim (datagen path).
     ub = jnp.stack([u, v, x0])
     x0b = jnp.stack([x0, u, v])

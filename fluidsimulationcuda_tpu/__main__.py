@@ -45,6 +45,10 @@ def _add_common(p):
                         "only; scenarios/PNG are 2-D)")
     p.add_argument("--pressure-solver", default="jacobi",
                    choices=["jacobi", "multigrid", "cg", "chebyshev"])
+    p.add_argument("--diffusion-solver", default="jacobi",
+                   choices=["jacobi", "chebyshev", "chebyshev-dens"],
+                   help="chebyshev-dens accelerates only the density solve "
+                        "(velocity stays bit-parity; see core/config.py)")
     p.add_argument("--fast-math", action="store_true",
                    help="reciprocal-multiply Jacobi sweeps (~1 ulp/sweep "
                         "from parity; pairs with --pressure-solver "
@@ -55,6 +59,8 @@ def _cfg(args):
     return SimConfig(n=args.n, jacobi_iters=args.iters, backend=args.backend,
                      max_courant=args.cmax, dt=args.dt, visc=args.visc,
                      diff=args.diff, pressure_solver=args.pressure_solver,
+                     diffusion_solver=getattr(args, "diffusion_solver",
+                                              "jacobi"),
                      fast_math=getattr(args, "fast_math", False),
                      ndim=getattr(args, "ndim", 2))
 

@@ -57,10 +57,14 @@ class SimConfig:
         sweeps, ``ops/chebyshev.py`` — same stencil and boundary handling
         as parity Jacobi but half the sweeps at better residual, measured;
         non-parity numerics).
-      diffusion_solver: "jacobi" (reference-parity) or "chebyshev"
+      diffusion_solver: "jacobi" (reference-parity), "chebyshev"
         (``cheby_iters`` accelerated sweeps for the three diffusion
         solves; validated by per-solve residual <= the Jacobi-20 solve's,
-        see bench.py's perf-mode line).
+        see bench.py's perf-mode line), or "chebyshev-dens" (accelerated
+        sweeps for the DENSITY solve only — the velocity trajectory stays
+        bit-identical to parity, so unlike the full swap the divergence
+        bar is untouched by construction and only the density-solve
+        residual bar applies; ``dev/bench_r3p_denscheby.py``).
       mg_cycles: V-cycles per pressure solve in multigrid mode.
       cg_iters: CG iterations per pressure solve in cg mode.
       cheby_iters: sweeps per solve in chebyshev modes.  Default 8:
@@ -72,6 +76,11 @@ class SimConfig:
         stability bound (|P_k| <= 1 on [-1, 1] for any value in (0, 1);
         ``ops/chebyshev.py``).  0.99 measured best-or-near across all five
         solves at 2048².
+      cheby_dens_iters: sweeps for the density solve in "chebyshev-dens"
+        mode.  Default 10: passes the density residual bar at 0.77x on the
+        continuous-forcing trajectory (k=8 passes at 0.97x — no margin;
+        ``dev/bench_r3p_denscheby.py``).  The full "chebyshev" mode keeps
+        ``cheby_iters`` for all solves.
       fast_math: Pallas Jacobi rewrites ``(rhs + a*neigh)/beta`` as
         ``rhs/beta + (a/beta)*neigh`` (reciprocal precomputed once per
         solve): ~15-20%% fewer VPU ops, numerics differ by ~1 ulp/sweep from
@@ -106,6 +115,7 @@ class SimConfig:
     cg_iters: int = 20
     cheby_iters: int = 8
     cheby_rho: float = 0.99
+    cheby_dens_iters: int = 10
     advect_mode: str = "auto"
     fast_math: bool = False
     ndim: int = 2
@@ -120,13 +130,16 @@ class SimConfig:
         if self.pressure_solver not in ("jacobi", "multigrid", "cg",
                                         "chebyshev"):
             raise ValueError(f"unknown pressure_solver {self.pressure_solver!r}")
-        if self.diffusion_solver not in ("jacobi", "chebyshev"):
+        if self.diffusion_solver not in ("jacobi", "chebyshev",
+                                         "chebyshev-dens"):
             raise ValueError(
                 f"unknown diffusion_solver {self.diffusion_solver!r}")
         if not (0.0 < self.cheby_rho < 1.0):
             raise ValueError("cheby_rho must be in (0, 1)")
         if self.cheby_iters < 2:
             raise ValueError("cheby_iters must be >= 2")
+        if self.cheby_dens_iters < 2:
+            raise ValueError("cheby_dens_iters must be >= 2")
         if self.advect_mode not in ("auto", "exact", "windowed"):
             raise ValueError(f"unknown advect_mode {self.advect_mode!r}")
         if self.ndim not in (2, 3):
@@ -139,12 +152,14 @@ class SimConfig:
                 "pressure_solver='multigrid'/'cg' are 2-D solvers; "
                 "ndim=3 supports 'jacobi' and 'chebyshev'"
             )
-        if self.ndim == 3 and self.diffusion_solver != "jacobi":
-            # The diffusion-swap validation frontier is empty in 2-D
-            # (PERFORMANCE.md finding 15); 3-D keeps the same policy.
+        if self.ndim == 3 and self.diffusion_solver == "chebyshev":
+            # The VELOCITY diffusion-swap validation frontier is empty in
+            # 2-D (PERFORMANCE.md finding 15); 3-D keeps the same policy.
+            # "chebyshev-dens" is fine in 3-D: the density solve feeds no
+            # divergence, so only its own residual bar applies.
             raise ValueError(
-                "diffusion_solver='chebyshev' is a 2-D solver; "
-                "ndim=3 supports 'jacobi' only"
+                "diffusion_solver='chebyshev' is a 2-D mode; "
+                "ndim=3 supports 'jacobi' and 'chebyshev-dens'"
             )
 
     @property

@@ -66,11 +66,15 @@ def _make_project(cfg: SimConfig, ops):
     return _project
 
 
-def _diffusion_args(cfg: SimConfig) -> tuple[int, dict]:
-    """(iters, extra-kwargs) for the three diffusion solves, honoring
-    ``cfg.diffusion_solver``."""
+def _diffusion_args(cfg: SimConfig, dens: bool = False) -> tuple[int, dict]:
+    """(iters, extra-kwargs) for a diffusion solve, honoring
+    ``cfg.diffusion_solver``.  ``dens``: this is the density solve —
+    "chebyshev-dens" accelerates only that one (the velocity trajectory
+    stays bit-identical to parity; see core/config.py)."""
     if cfg.diffusion_solver == "chebyshev":
         return cfg.cheby_iters, {"cheby_rho": cfg.cheby_rho}
+    if dens and cfg.diffusion_solver == "chebyshev-dens":
+        return cfg.cheby_dens_iters, {"cheby_rho": cfg.cheby_rho}
     return cfg.jacobi_iters, {}
 
 
@@ -108,7 +112,7 @@ def dens_step(
     ops = get_ops(cfg)
     alpha = cfg.diffusion_alpha_diff
     beta = 1.0 + 4.0 * alpha
-    d_iters, d_kw = _diffusion_args(cfg)
+    d_iters, d_kw = _diffusion_args(cfg, dens=True)
     if ops.diffuse_advect is not None:
         return ops.diffuse_advect(0, dens_src, dens, u, v, alpha, beta,
                                   d_iters, cfg.dt, cfg.n, **d_kw)
@@ -146,10 +150,12 @@ def step_audited(
     ops = get_ops(cfg)
     alpha = cfg.diffusion_alpha_visc
     beta = 1.0 + 4.0 * alpha
+    d_iters, d_kw = _diffusion_args(cfg)  # keep the audit replay on the
+    # SAME trajectory as step() under every diffusion_solver mode
     u = ops.diffuse_src(1, sources.u, state.u, alpha, beta,
-                        cfg.jacobi_iters, cfg.dt)
+                        d_iters, cfg.dt, **d_kw)
     v = ops.diffuse_src(2, sources.v, state.v, alpha, beta,
-                        cfg.jacobi_iters, cfg.dt)
+                        d_iters, cfg.dt, **d_kw)
     _project = _make_project(cfg, ops)
     u, v = _project(u, v)
     d_vel = _disp(u, v)  # what the self-advection actually backtraces with

@@ -63,12 +63,18 @@ class _Ops3:
         self.cfg = cfg
         self.pallas = _use_pallas3(cfg)
 
-    def diffuse(self, b, x_init, x0, alpha, beta, iters):
+    def diffuse(self, b, x_init, x0, alpha, beta, iters, cheby_rho=None):
         if self.pallas:
             from ..kernels import pallas_ops_3d as k3
 
             return k3.fused_jacobi3(b, x_init, x0, alpha, beta, iters,
-                                    fast=self.cfg.fast_math)
+                                    fast=self.cfg.fast_math,
+                                    cheby_rho=cheby_rho)
+        if cheby_rho is not None:
+            from ..ops.chebyshev import cheby_diffuse3
+
+            return cheby_diffuse3(b, x_init, x0, alpha, beta, iters,
+                                  cheby_rho)
         return o3.diffuse3(b, x_init, x0, alpha, beta, iters)
 
     def advect(self, b, d0, u, v, w, *, d0_complete=False, final=True):
@@ -163,7 +169,13 @@ def dens_step3(cfg: SimConfig, dens, dens_src, u, v, w):
     dens = add_source(dens, dens_src, cfg.dt)
     alpha = cfg.diffusion_alpha_diff
     beta = 1.0 + 6.0 * alpha
-    dens = ops.diffuse(0, dens_src, dens, alpha, beta, cfg.jacobi_iters)
+    if cfg.diffusion_solver == "chebyshev-dens":
+        # Density-only Chebyshev (see core/config.py): the velocity
+        # trajectory stays bit-parity; validated by the dens residual bar.
+        dens = ops.diffuse(0, dens_src, dens, alpha, beta,
+                           cfg.cheby_dens_iters, cheby_rho=cfg.cheby_rho)
+    else:
+        dens = ops.diffuse(0, dens_src, dens, alpha, beta, cfg.jacobi_iters)
     return ops.advect(0, dens, u, v, w)
 
 

@@ -672,6 +672,33 @@ def _step_local_pallas(cfg: SimConfig, px: int, audited: bool,
             remaining -= s
         return x
 
+    def diffuse_cheby(b, x_init, rhs, alpha, beta, iters):
+        # Chebyshev diffusion solve in ONE slab call (the three-term
+        # recurrence keeps x_{k-1} in VMEM; chunking across calls would
+        # need the 3-D chain's cross-call carry).  Falls back to the jnp
+        # sharded twin when the halo doesn't fit the slab.
+        K = _ceil8(iters + 1)
+        if K <= m and ps.slab_supported(m, side):
+            rt, rb = _halo_rows(rhs, px, K)
+            rhs_ext = jnp.concatenate([rt, rhs, rb], axis=0)
+            xt, xb = _halo_rows(x_init, px, K)
+            x_ext = jnp.concatenate([xt, x_init, xb], axis=0)
+            return ps.fused_jacobi_slab(
+                b, x_ext, rhs_ext, flags, m=m, K=K, alpha=float(alpha),
+                beta=float(beta), sweeps=iters, zero_init=False,
+                fast=fast, cheby_rho=cfg.cheby_rho,
+            )
+        return _cheby_diffuse_local(b, x_init, rhs, alpha, beta, iters,
+                                    cfg.cheby_rho, n, px, 1)
+
+    # Diffusion solver selection — mirrors
+    # models.stable_fluids_2d._diffusion_args ("chebyshev" accelerates all
+    # three solves, "chebyshev-dens" only the density one).
+    vel_cheby = cfg.diffusion_solver == "chebyshev"
+    dens_cheby = cfg.diffusion_solver in ("chebyshev", "chebyshev-dens")
+    k_dens = (cfg.cheby_iters if cfg.diffusion_solver == "chebyshev"
+              else cfg.cheby_dens_iters)
+
     # Chebyshev pressure: the whole solve must fit in ONE slab call (the
     # three-term recurrence would need x_{k-1} carried across halo
     # exchanges otherwise) — cheby_iters <= ~10 fits a K=ceil8(iters+1)
@@ -760,8 +787,12 @@ def _step_local_pallas(cfg: SimConfig, px: int, audited: bool,
     v = state.v + dt_c * src.v
     alpha = cfg.diffusion_alpha_visc
     beta = 1.0 + 4.0 * alpha
-    u = diffuse(1, src.u, u, alpha, beta, it, use_fast=fast)
-    v = diffuse(2, src.v, v, alpha, beta, it, use_fast=fast)
+    if vel_cheby:
+        u = diffuse_cheby(1, src.u, u, alpha, beta, cfg.cheby_iters)
+        v = diffuse_cheby(2, src.v, v, alpha, beta, cfg.cheby_iters)
+    else:
+        u = diffuse(1, src.u, u, alpha, beta, it, use_fast=fast)
+        v = diffuse(2, src.v, v, alpha, beta, it, use_fast=fast)
     u, v = project(u, v)
     d_vel = _disp_global(u, v, dtim * n) if audited else None
     u0, v0 = u, v
@@ -771,7 +802,8 @@ def _step_local_pallas(cfg: SimConfig, px: int, audited: bool,
 
     alpha = cfg.diffusion_alpha_diff
     beta = 1.0 + 4.0 * alpha
-    if it <= fuse and ps.dens_slab_supported(m, side, it, cmax):
+    if not dens_cheby and it <= fuse and ps.dens_slab_supported(m, side, it,
+                                                                cmax):
         # Fused density pair: ONE K-deep src/base exchange + one kernel
         # (add_source folded into the rhs, diffusion sweeps in VMEM, the
         # gather reads the diffused field straight out of the sweep
@@ -788,7 +820,13 @@ def _step_local_pallas(cfg: SimConfig, px: int, audited: bool,
         )
     else:
         dens = state.dens + dt_c * src.dens
-        dens = diffuse(0, src.dens, dens, alpha, beta, it, use_fast=fast)
+        if dens_cheby:
+            # The fused dens slab kernel is Jacobi-only; the cheby modes
+            # take the composed route (one-call cheby solve + advect).
+            dens = diffuse_cheby(0, src.dens, dens, alpha, beta, k_dens)
+        else:
+            dens = diffuse(0, src.dens, dens, alpha, beta, it,
+                           use_fast=fast)
         dens = advect_one(0, dens, u, v)
     out = FluidState(dens=dens, u=u, v=v)
     if audited:
@@ -835,13 +873,25 @@ def _step_local(cfg: SimConfig, px: int, py: int, advect_mode: str,
         def _advect(b, d0, uu, vv):
             return _advect_local(b, d0, uu, vv, dtim, n, px, py)
 
+    def _diffusion(b, src_f, rhs, alpha, beta, dens=False):
+        # Mirrors models.stable_fluids_2d._diffusion_args: "chebyshev"
+        # accelerates all three solves, "chebyshev-dens" only the density
+        # one (velocity path stays bit-parity Jacobi).
+        mode = cfg.diffusion_solver
+        if mode == "chebyshev" or (dens and mode == "chebyshev-dens"):
+            k = cfg.cheby_dens_iters if mode == "chebyshev-dens" \
+                else cfg.cheby_iters
+            return _cheby_diffuse_local(b, src_f, rhs, alpha, beta, k,
+                                        cfg.cheby_rho, n, px, py)
+        return _diffuse_local(b, src_f, rhs, alpha, beta, it, n, px, py)
+
     project = _make_project_local(cfg, px, py)
     u = state.u + dt_c * src.u
     v = state.v + dt_c * src.v
     alpha = cfg.diffusion_alpha_visc
     beta = 1.0 + 4.0 * alpha
-    u = _diffuse_local(1, src.u, u, alpha, beta, it, n, px, py)
-    v = _diffuse_local(2, src.v, v, alpha, beta, it, n, px, py)
+    u = _diffusion(1, src.u, u, alpha, beta)
+    v = _diffusion(2, src.v, v, alpha, beta)
     u, v = project(u, v)
     d_vel = _disp_global(u, v, dtim * n) if audited else None
     u0, v0 = u, v
@@ -853,7 +903,7 @@ def _step_local(cfg: SimConfig, px: int, py: int, advect_mode: str,
     dens = state.dens + dt_c * src.dens
     alpha = cfg.diffusion_alpha_diff
     beta = 1.0 + 4.0 * alpha
-    dens = _diffuse_local(0, src.dens, dens, alpha, beta, it, n, px, py)
+    dens = _diffusion(0, src.dens, dens, alpha, beta, dens=True)
     dens = _advect(0, dens, u, v)
     out = FluidState(dens=dens, u=u, v=v)
     if audited:

@@ -618,8 +618,16 @@ def make_sharded_step_fn_3d(
         raise ValueError("make_sharded_step_fn_3d requires cfg.ndim == 3")
     if cfg.pressure_solver != "jacobi":
         raise ValueError(
-            "sharded 3-D supports pressure_solver='jacobi' only (the 3-D "
-            "model itself is Jacobi-only; mg/cg are 2-D solvers)"
+            "sharded 3-D supports pressure_solver='jacobi' only (the "
+            "unsharded 3-D chebyshev chain carries x_{k-1} across calls — "
+            "a cross-call carry the z-slab halo exchange does not "
+            "implement; mg/cg are 2-D solvers)"
+        )
+    if cfg.diffusion_solver != "jacobi":
+        # Silently running parity Jacobi would misreport the numerics.
+        raise ValueError(
+            "sharded 3-D supports diffusion_solver='jacobi' only "
+            "(chebyshev-dens needs the unsharded 3-D cheby chain)"
         )
     if advect_mode not in ("auto", "exact", "windowed"):
         raise ValueError(f"unknown advect_mode {advect_mode!r}")

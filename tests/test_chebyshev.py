@@ -125,6 +125,66 @@ def test_cheby_residual_improves_on_jacobi_at_scale_shape():
     assert rc <= rj * 1.05, (rc, rj)
 
 
+def test_chebyshev_dens_velocity_bit_parity():
+    """``diffusion_solver="chebyshev-dens"`` accelerates ONLY the density
+    solve: with a jacobi pressure solver the velocity trajectory is
+    BIT-identical to full parity (density is passive in Stam's solver) —
+    the construction that exempts the swap from the divergence bar
+    (bench.py ``--perf-solver chebyshev+dens`` / audit_dens_residual)."""
+    kw = dict(n=SIDE - 2, jacobi_iters=8, max_courant=2,
+              advect_mode="windowed", backend="reference")
+    cfg_j = SimConfig(**kw)
+    cfg_d = SimConfig(diffusion_solver="chebyshev-dens", cheby_dens_iters=5,
+                      **kw)
+    state, src = reference_init(jax.random.key(8), cfg_j)
+    fj, fd = make_step_fn(cfg_j), make_step_fn(cfg_d)
+    s_j, s_d = state, state
+    for _ in range(3):
+        s_j, s_d = fj(s_j, src), fd(s_d, src)
+    np.testing.assert_array_equal(np.asarray(s_j.u), np.asarray(s_d.u))
+    np.testing.assert_array_equal(np.asarray(s_j.v), np.asarray(s_d.v))
+    d = np.abs(np.asarray(s_j.dens) - np.asarray(s_d.dens)).max()
+    assert d > 0, "density solve should actually differ (5 cheby sweeps)"
+    assert np.isfinite(np.asarray(s_d.dens)).all()
+
+
+def test_chebyshev_dens_backend_parity():
+    """chebyshev-dens step: pallas (interpret) vs the reference jnp path —
+    the dens solve routes cheby_dens_iters through the fused dens kernel."""
+    kw = dict(n=SIDE - 2, jacobi_iters=8, diffusion_solver="chebyshev-dens",
+              cheby_dens_iters=5, max_courant=2, advect_mode="windowed")
+    cfg_p = SimConfig(backend="pallas", **kw)
+    cfg_r = SimConfig(backend="reference", **kw)
+    state, src = reference_init(jax.random.key(9), cfg_r)
+    sp = make_step_fn(cfg_p)(state, src)
+    sr = make_step_fn(cfg_r)(state, src)
+    for a, b_, name in ((sp.dens, sr.dens, "dens"), (sp.u, sr.u, "u"),
+                        (sp.v, sr.v, "v")):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=0, atol=1e-5, err_msg=name)
+
+
+def test_step_audited_matches_step_under_cheby_modes():
+    """The audit replay must follow the SAME trajectory as step() for every
+    diffusion_solver mode (it feeds the exact-regime claim)."""
+    from fluidsimulationcuda_tpu import step, step_audited
+    import functools
+
+    for dsolver, kws in (("chebyshev", {"cheby_iters": 5}),
+                         ("chebyshev-dens", {"cheby_dens_iters": 5})):
+        cfg = SimConfig(n=SIDE - 2, jacobi_iters=8, backend="reference",
+                        diffusion_solver=dsolver, max_courant=2,
+                        advect_mode="windowed", **kws)
+        state, src = reference_init(jax.random.key(10), cfg)
+        want = jax.jit(functools.partial(step, cfg))(state, src)
+        got, disp = jax.jit(functools.partial(step_audited, cfg))(state, src)
+        for name in ("dens", "u", "v"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(got, name)),
+                np.asarray(getattr(want, name)), err_msg=f"{dsolver}/{name}")
+        assert np.isfinite(float(disp))
+
+
 def test_config_validation():
     with pytest.raises(ValueError):
         SimConfig(n=30, pressure_solver="chebyshev", cheby_rho=1.5)
@@ -132,3 +192,7 @@ def test_config_validation():
         SimConfig(n=30, diffusion_solver="sor")
     with pytest.raises(ValueError):
         SimConfig(n=30, ndim=3, diffusion_solver="chebyshev")
+    # chebyshev-dens IS legal in 3-D (density feeds no divergence).
+    SimConfig(n=30, ndim=3, diffusion_solver="chebyshev-dens")
+    with pytest.raises(ValueError):
+        SimConfig(n=30, diffusion_solver="chebyshev-dens", cheby_dens_iters=1)

@@ -260,3 +260,34 @@ def test_step3_chebyshev_pallas_matches_jnp(rng):
             np.asarray(getattr(sp, name)), np.asarray(getattr(sr, name)),
             rtol=0, atol=2e-5, err_msg=name,
         )
+
+
+@pytest.mark.slow
+def test_step3_chebyshev_dens_pallas_matches_jnp(rng):
+    """3-D density-only Chebyshev (``diffusion_solver="chebyshev-dens"``)
+    through the model dispatch: the dens solve runs the chain kernel with
+    the raw-guess first sweep; pallas == jnp spec at the step level."""
+    from fluidsimulationcuda_tpu.core.state import FluidState, Sources
+    from fluidsimulationcuda_tpu.models.stable_fluids_3d import step3
+
+    cfg_p = SimConfig(n=N, ndim=3, jacobi_iters=5, backend="pallas",
+                      max_courant=2, diffusion_solver="chebyshev-dens",
+                      cheby_dens_iters=4, cheby_rho=0.95)
+    cfg_r = cfg_p.replace(backend="reference")
+    k = jax.random.split(jax.random.key(2), 4)
+    shape = (SIDE,) * 3
+    src = Sources(
+        dens=jax.random.uniform(k[0], shape, jnp.float32),
+        u=jax.random.uniform(k[1], shape, jnp.float32, -1, 1) * 0.1,
+        v=jax.random.uniform(k[2], shape, jnp.float32, -1, 1) * 0.1,
+        w=jax.random.uniform(k[3], shape, jnp.float32, -1, 1) * 0.1,
+    )
+    zeros = jnp.zeros(shape, jnp.float32)
+    state = FluidState(dens=zeros, u=zeros, v=zeros, w=zeros)
+    sp = functools.partial(step3, cfg_p)(state, src)
+    sr = functools.partial(step3, cfg_r)(state, src)
+    for name in ("dens", "u", "v", "w"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(sp, name)), np.asarray(getattr(sr, name)),
+            rtol=0, atol=2e-5, err_msg=name,
+        )

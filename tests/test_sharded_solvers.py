@@ -80,6 +80,60 @@ def test_sharded_solver_matches_single_device(solver, mesh_shape):
         )
 
 
+@pytest.mark.parametrize("dsolver", ["chebyshev", "chebyshev-dens"])
+@pytest.mark.parametrize("mesh_shape", [(2, 2), (4, 1)])
+def test_sharded_diffusion_solver_matches_unsharded(dsolver, mesh_shape):
+    """The sharded step honors ``diffusion_solver`` (same sweep/omega
+    sequence as the unsharded ``ops.chebyshev.cheby_diffuse``, chunked by
+    halo depth) — it must not silently run parity Jacobi."""
+    cfg = SimConfig(n=30, jacobi_iters=8, backend="reference",
+                    diffusion_solver=dsolver, cheby_iters=5,
+                    cheby_dens_iters=5)
+    state, sources = reference_init(jax.random.key(13), cfg)
+    zeros = zero_sources(cfg)
+    want = _run(make_step_fn(cfg), state, sources, zeros, 2)
+
+    mesh = make_mesh(jax.devices()[: mesh_shape[0] * mesh_shape[1]],
+                     mesh_shape)
+    step = make_sharded_step_fn(cfg, mesh)
+    got = _run(step, shard_state(state, mesh), shard_state(sources, mesh),
+               shard_state(zeros, mesh), 2)
+    for name in ("dens", "u", "v"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(got, name)), np.asarray(getattr(want, name)),
+            rtol=2e-5, atol=2e-5, err_msg=f"{dsolver}/{name}",
+        )
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("dsolver", ["chebyshev", "chebyshev-dens"])
+def test_sharded_pallas_path_with_diffusion_solver(dsolver):
+    """Chebyshev diffusion solves run INSIDE the slab kernels on the row
+    mesh (one-call ``fused_jacobi_slab`` with the cheby schedule; the dens
+    solve takes the composed route — the fused dens slab is Jacobi-only)."""
+    prev = pallas_ops.INTERPRET
+    pallas_ops.INTERPRET = True
+    try:
+        cfg = SimConfig(n=30, jacobi_iters=4, backend="pallas",
+                        max_courant=2, diffusion_solver=dsolver,
+                        cheby_iters=5, cheby_dens_iters=5)
+        mesh = make_mesh(jax.devices()[:2], (2, 1))
+        step = make_sharded_step_fn(cfg, mesh, shard_backend="pallas",
+                                    advect_mode="windowed")
+        assert step.shard_backend == "pallas"
+        state, sources = reference_init(jax.random.key(17), cfg)
+        got = step(shard_state(state, mesh), shard_state(sources, mesh))
+        want = _run(make_step_fn(cfg), state, sources, zero_sources(cfg), 1)
+        for name in ("dens", "u", "v"):
+            np.testing.assert_allclose(
+                np.asarray(getattr(got, name)),
+                np.asarray(getattr(want, name)),
+                rtol=2e-5, atol=2e-5, err_msg=f"{dsolver}/{name}",
+            )
+    finally:
+        pallas_ops.INTERPRET = prev
+
+
 def test_sharded_mg_rejects_odd_blocks():
     # side 36 over 8 row-shards -> 4.5 rows: indivisible caught first; use
     # a mesh where blocks divide but are odd: side 36 over (4, 4) -> 9x9.

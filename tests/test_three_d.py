@@ -154,3 +154,39 @@ def test_step_audited3_matches_step3_and_bounds_displacement():
         )
     d = float(disp)
     assert np.isfinite(d) and 0.0 < d < cfg.max_courant
+
+
+def test_chebyshev_dens_3d_velocity_bit_parity():
+    """3-D ``diffusion_solver="chebyshev-dens"``: velocity trajectory
+    bit-identical to parity (density is passive), density solved by the
+    cheby chain (``ops.chebyshev.cheby_diffuse3``) and finite."""
+    kw = dict(n=10, jacobi_iters=6, ndim=3, backend="reference")
+    cfg_j = SimConfig(**kw)
+    cfg_d = SimConfig(diffusion_solver="chebyshev-dens", cheby_dens_iters=4,
+                      **kw)
+    state, sources = reference_init(jax.random.key(6), cfg_j)
+    fj, fd = make_step_fn_3d(cfg_j), make_step_fn_3d(cfg_d)
+    s_j, s_d = state, state
+    zeros = jax.tree.map(jnp.zeros_like, sources)
+    for k in range(3):
+        src = sources if k == 0 else zeros
+        s_j, s_d = fj(s_j, src), fd(s_d, src)
+    np.testing.assert_array_equal(np.asarray(s_j.u), np.asarray(s_d.u))
+    np.testing.assert_array_equal(np.asarray(s_j.v), np.asarray(s_d.v))
+    np.testing.assert_array_equal(np.asarray(s_j.w), np.asarray(s_d.w))
+    dens = np.asarray(s_d.dens)
+    assert np.isfinite(dens).all()
+    assert np.abs(dens - np.asarray(s_j.dens)).max() > 0
+
+
+def test_sharded_3d_rejects_chebyshev_dens():
+    from fluidsimulationcuda_tpu.parallel.mesh import make_mesh
+    from fluidsimulationcuda_tpu.parallel.sharded3d import (
+        make_sharded_step_fn_3d,
+    )
+
+    cfg = SimConfig(n=14, ndim=3, backend="reference",
+                    diffusion_solver="chebyshev-dens")
+    mesh = make_mesh(jax.devices()[:2], (2, 1))
+    with pytest.raises(ValueError, match="diffusion_solver='jacobi'"):
+        make_sharded_step_fn_3d(cfg, mesh)
