@@ -771,31 +771,29 @@ def _ceil8_3d(x: int) -> int:
     return (x + 7) // 8 * 8
 
 
-def _advect3_flat_kernel(
-    d0_hbm, u_blk, v_blk, w_blk, out_ref, win, wbuf,
-    g000, g001, g010, g011, g100, g101, g110, g111, sem,
-    *, dt: float, n: int, tz: int, wz: int, side: int, cmax: int,
+def _flat_gather_body(
+    wbuf, u_blk, v_blk, w_blk, gs, z0,
+    *, dt: float, n: int, tz: int, side: int, cmax: int,
 ):
-    gi = pl.program_id(0)
-    C = cmax + 1
-    start = jnp.clip(gi * tz - C, 0, side - wz)
-    base = gi * tz - start  # window plane of this strip's first out plane
-    cp = pltpu.make_async_copy(d0_hbm.at[pl.ds(start, wz)], win, sem)
-    cp.start()
-    cp.wait()
+    """Shared flattened masked-shift trilinear gather body — used by BOTH
+    the single-chip kernel (``_advect3_flat_kernel``) and the slab kernel
+    (``pallas_sharded_3d._advect3_flat_slab_kernel``) so fixes to the
+    backtrace/clamp/select-chain land in one place.
 
-    W = wz * side
+    Preconditions: ``wbuf`` rows ``[0, W)`` hold the flattened staged
+    window with the strip's first out plane at row ``Cs = (cmax+1)*side``;
+    ``z0`` is the GLOBAL z index of that first out plane (traced scalar);
+    ``gs`` are the 8 (L, side) VMEM corner accumulators.  Returns the
+    gathered (L, side) interior (trilinear blend in the jnp ops' exact
+    expression order, ``ops/three_d.py advect3_windowed``; row offset +1 =
+    y+1, +side = z+1)."""
+    g000, g001, g010, g011, g100, g101, g110, g111 = gs
+    C = cmax + 1
     L = tz * side
     Cs = C * side
-    dtype = win.dtype
-    # Stage the flattened window with out plane 0 at STATIC row Cs (one
-    # positive-normalized dynamic roll — negative dynamic sublane shifts
-    # mis-rotate in compiled Mosaic, cf. the 2-D kernels).
-    shift = jax.lax.rem(jnp.int32(W) + Cs - base * side, jnp.int32(W))
-    wbuf[0:W, :] = pltpu.roll(win[:].reshape(W, side), shift, 0)
-
+    dtype = wbuf.dtype
     rows = jax.lax.broadcasted_iota(jnp.int32, (L, 1), 0)
-    gzi = gi * tz + rows // side
+    gzi = z0 + rows // side
     gyi = jax.lax.rem(rows, side)
     gxi = jax.lax.broadcasted_iota(jnp.int32, (L, side), 1)
     gz = gzi.astype(dtype)
@@ -829,7 +827,7 @@ def _advect3_flat_kernel(
     dj_lo, dj_hi = jnp.min(dj), jnp.max(dj)
 
     zero = jnp.zeros((L, side), dtype)
-    for g in (g000, g001, g010, g011, g100, g101, g110, g111):
+    for g in gs:
         g[:] = zero
 
     for dzi in range(nsh):
@@ -875,9 +873,7 @@ def _advect3_flat_kernel(
             )(_pair)
 
     one = jnp.asarray(1.0, dtype)
-    # Trilinear blend in the jnp ops' exact expression order
-    # (ops/three_d.py advect3_windowed); row offset +1 = y+1, +side = z+1.
-    interior = (
+    return (
         (one - fz) * (
             (one - fy) * ((one - fx) * g000[:] + fx * g001[:])
             + fy * ((one - fx) * g010[:] + fx * g011[:])
@@ -886,6 +882,34 @@ def _advect3_flat_kernel(
             (one - fy) * ((one - fx) * g100[:] + fx * g101[:])
             + fy * ((one - fx) * g110[:] + fx * g111[:])
         )
+    )
+
+
+def _advect3_flat_kernel(
+    d0_hbm, u_blk, v_blk, w_blk, out_ref, win, wbuf,
+    g000, g001, g010, g011, g100, g101, g110, g111, sem,
+    *, dt: float, n: int, tz: int, wz: int, side: int, cmax: int,
+):
+    gi = pl.program_id(0)
+    C = cmax + 1
+    start = jnp.clip(gi * tz - C, 0, side - wz)
+    base = gi * tz - start  # window plane of this strip's first out plane
+    cp = pltpu.make_async_copy(d0_hbm.at[pl.ds(start, wz)], win, sem)
+    cp.start()
+    cp.wait()
+
+    W = wz * side
+    Cs = C * side
+    # Stage the flattened window with out plane 0 at STATIC row Cs (one
+    # positive-normalized dynamic roll — negative dynamic sublane shifts
+    # mis-rotate in compiled Mosaic, cf. the 2-D kernels).
+    shift = jax.lax.rem(jnp.int32(W) + Cs - base * side, jnp.int32(W))
+    wbuf[0:W, :] = pltpu.roll(win[:].reshape(W, side), shift, 0)
+
+    interior = _flat_gather_body(
+        wbuf, u_blk, v_blk, w_blk,
+        (g000, g001, g010, g011, g100, g101, g110, g111),
+        gi * tz, dt=dt, n=n, tz=tz, side=side, cmax=cmax,
     )
     out_ref[:] = interior.reshape(tz, side, side)
 

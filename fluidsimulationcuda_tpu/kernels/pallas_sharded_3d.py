@@ -29,9 +29,9 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from . import pallas_ops
-from .pallas_ops_3d import (_advect3_flat_need, _jacobi3_need,
-                            _jacobi3_need_hw, _plane_bytes, _signs3,
-                            _JAC3_DMA_WEIGHT, _VMEM3_CEIL)
+from .pallas_ops_3d import (_advect3_flat_need, _flat_gather_body,
+                            _jacobi3_need, _jacobi3_need_hw, _plane_bytes,
+                            _signs3, _JAC3_DMA_WEIGHT, _VMEM3_CEIL)
 
 __all__ = [
     "slab3_supported",
@@ -337,104 +337,18 @@ def _advect3_flat_slab_kernel(
     geometry makes the staging offset static (no normalization roll);
     global z enters through ``plane0`` (SMEM flags)."""
     gi = pl.program_id(0)
-    C = cmax + 1
     plane0 = flags_ref[2]  # global z index of slab plane 0
     cp = pltpu.make_async_copy(d0_hbm.at[pl.ds(gi * tz, wz)], win, sem)
     cp.start()
     cp.wait()
 
     W = wz * side
-    L = tz * side
-    Cs = C * side
-    dtype = win.dtype
     wbuf[0:W, :] = win[:].reshape(W, side)
 
-    rows = jax.lax.broadcasted_iota(jnp.int32, (L, 1), 0)
-    gzi = plane0 + gi * tz + rows // side
-    gyi = jax.lax.rem(rows, side)
-    gxi = jax.lax.broadcasted_iota(jnp.int32, (L, side), 1)
-    gz = gzi.astype(dtype)
-    gy = gyi.astype(dtype)
-    gx = gxi.astype(dtype)
-    dt0 = jnp.asarray(dt, dtype) * n
-    x = gx - dt0 * u_blk[:].reshape(L, side)
-    y = gy - dt0 * v_blk[:].reshape(L, side)
-    z = gz - dt0 * w_blk[:].reshape(L, side)
-    lo = jnp.asarray(0.5, dtype)
-    hi = jnp.asarray(n + 0.5, dtype)
-    x = jnp.clip(jnp.clip(x, lo, hi), gx - cmax, gx + cmax)
-    y = jnp.clip(jnp.clip(y, lo, hi), gy - cmax, gy + cmax)
-    z = jnp.clip(jnp.clip(z, lo, hi), gz - cmax, gz + cmax)
-    i0 = x.astype(jnp.int32)
-    j0 = y.astype(jnp.int32)
-    k0 = z.astype(jnp.int32)
-    fx = x - i0.astype(dtype)
-    fy = y - j0.astype(dtype)
-    fz = z - k0.astype(dtype)
-    nsh = 2 * cmax + 1
-    di = i0 - gxi
-    dj = j0 - gyi
-    dk = k0 - gzi
-    key = ((dk + cmax) * nsh + (dj + cmax)) * nsh + (di + cmax)
-    dk_lo, dk_hi = jnp.min(dk), jnp.max(dk)
-    dj_lo, dj_hi = jnp.min(dj), jnp.max(dj)
-
-    zero = jnp.zeros((L, side), dtype)
-    for g in (g000, g001, g010, g011, g100, g101, g110, g111):
-        g[:] = zero
-
-    for dzi in range(nsh):
-        for dyi in range(nsh):
-            dz = dzi - cmax
-            dy = dyi - cmax
-            rshift = dz * side + dy
-
-            def _pair(dzi=dzi, dyi=dyi, rshift=rshift):
-                v000, v001 = g000[:], g001[:]
-                v010, v011 = g010[:], g011[:]
-                v100, v101 = g100[:], g101[:]
-                v110, v111 = g110[:], g111[:]
-                rq = wbuf[Cs + rshift : Cs + rshift + L + side + 1, :]
-                q = pltpu.roll(rq, cmax, 1)
-                for dii in range(nsh):
-                    t = (dzi * nsh + dyi) * nsh + dii
-                    mk = key == t
-                    qn = pltpu.roll(q, q.shape[-1] - 1, 1)
-                    v000 = jnp.where(mk, q[0:L, :], v000)
-                    v001 = jnp.where(mk, qn[0:L, :], v001)
-                    v010 = jnp.where(mk, q[1 : L + 1, :], v010)
-                    v011 = jnp.where(mk, qn[1 : L + 1, :], v011)
-                    v100 = jnp.where(mk, q[side : L + side, :], v100)
-                    v101 = jnp.where(mk, qn[side : L + side, :], v101)
-                    v110 = jnp.where(mk, q[side + 1 : L + side + 1, :], v110)
-                    v111 = jnp.where(mk, qn[side + 1 : L + side + 1, :], v111)
-                    q = qn
-                g000[:] = v000
-                g001[:] = v001
-                g010[:] = v010
-                g011[:] = v011
-                g100[:] = v100
-                g101[:] = v101
-                g110[:] = v110
-                g111[:] = v111
-
-            pl.when(
-                jnp.logical_and(
-                    jnp.logical_and(dk_lo <= dz, dz <= dk_hi),
-                    jnp.logical_and(dj_lo <= dy, dy <= dj_hi),
-                )
-            )(_pair)
-
-    one = jnp.asarray(1.0, dtype)
-    interior = (
-        (one - fz) * (
-            (one - fy) * ((one - fx) * g000[:] + fx * g001[:])
-            + fy * ((one - fx) * g010[:] + fx * g011[:])
-        )
-        + fz * (
-            (one - fy) * ((one - fx) * g100[:] + fx * g101[:])
-            + fy * ((one - fx) * g110[:] + fx * g111[:])
-        )
+    interior = _flat_gather_body(
+        wbuf, u_blk, v_blk, w_blk,
+        (g000, g001, g010, g011, g100, g101, g110, g111),
+        plane0 + gi * tz, dt=dt, n=n, tz=tz, side=side, cmax=cmax,
     )
     out_ref[:] = interior.reshape(tz, side, side)
 

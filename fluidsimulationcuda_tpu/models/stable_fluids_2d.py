@@ -39,7 +39,10 @@ def _make_project(cfg: SimConfig, ops):
 
         # Pallas opsets smooth through the fused-sweep kernel (the jnp
         # smoother costs ~10x at 2048²); reference opsets stay pure jnp.
-        pallas_smoother = ops.advect_project is not None
+        # Discriminate on diffuse_advect — the field every pallas opset sets
+        # and the reference opset leaves None (advect_project is None on BOTH:
+        # it is a deliberately-unwired capability, kernels/pallas_ops.py).
+        pallas_smoother = ops.diffuse_advect is not None
 
         def _project(u, v):
             div = ops.divergence(u, v, cfg.n)

@@ -64,55 +64,18 @@ def embed_faces3(b: int, interior: jnp.ndarray) -> jnp.ndarray:
 
 
 def embed_interior3(b: int, interior: jnp.ndarray) -> jnp.ndarray:
-    """(n,n,n) interior -> (n+2,n+2,n+2) with derived ghost layer."""
-    dt = interior.dtype
-    x = jnp.pad(interior, 1)
-    # Faces: mirror adjacent interior plane, negated on the wall-normal
-    # component's axis.
-    for axis in range(3):
-        sign = jnp.asarray(
-            -1.0 if _AXIS_OF_MODE.get(b) == axis else 1.0, dt
-        )
-        idx_lo = [slice(None)] * 3
-        idx_lo[axis] = 0
-        src_lo = [slice(None)] * 3
-        src_lo[axis] = 1
-        x = x.at[tuple(idx_lo)].set(sign * x[tuple(src_lo)])
-        idx_hi = [slice(None)] * 3
-        idx_hi[axis] = -1
-        src_hi = [slice(None)] * 3
-        src_hi[axis] = -2
-        x = x.at[tuple(idx_hi)].set(sign * x[tuple(src_hi)])
-    # Edges (two ghost coords) average their 2 adjacent face cells; corners
-    # (three ghost coords) then average their 3 adjacent just-set EDGE cells
-    # (cascaded, like the 2-D corners reading updated edge ghosts).  Neither
-    # is ever a stencil input, so only the face values affect the solution.
-    half = jnp.asarray(0.5, dt)
-    third = jnp.asarray(1.0 / 3.0, dt)
-    n2 = x.shape[0]
-    for a1 in range(3):
-        for a2 in range(a1 + 1, 3):
-            for i1 in (0, n2 - 1):
-                for i2 in (0, n2 - 1):
-                    idx = [slice(1, -1)] * 3
-                    idx[a1], idx[a2] = i1, i2
-                    nb1 = list(idx)
-                    nb1[a1] = 1 if i1 == 0 else n2 - 2
-                    nb2 = list(idx)
-                    nb2[a2] = 1 if i2 == 0 else n2 - 2
-                    x = x.at[tuple(idx)].set(
-                        half * (x[tuple(nb1)] + x[tuple(nb2)])
-                    )
-    for iz in (0, n2 - 1):
-        for iy in (0, n2 - 1):
-            for ix in (0, n2 - 1):
-                nz = 1 if iz == 0 else n2 - 2
-                ny = 1 if iy == 0 else n2 - 2
-                nx = 1 if ix == 0 else n2 - 2
-                x = x.at[iz, iy, ix].set(
-                    third * (x[nz, iy, ix] + x[iz, ny, ix] + x[iz, iy, nx])
-                )
-    return x
+    """(n,n,n) interior -> (n+2,n+2,n+2) with derived ghost layer.
+
+    Faces mirror the adjacent interior plane (negated on the wall-normal
+    component's axis); edges (two ghost coords) average their 2 adjacent
+    face cells; corners (three ghost coords) then average their 3 adjacent
+    just-set EDGE cells — cascaded, like the 2-D corners reading updated
+    edge ghosts.  Neither edges nor corners are ever a stencil input, so
+    only the face values affect the solution.  One rule, one place:
+    delegates to ``fix_faces3``/``fix_edges3`` (the same cascade
+    ``set_bnd3`` uses) instead of keeping a second copy of the ghost rule.
+    """
+    return fix_edges3(fix_faces3(b, jnp.pad(interior, 1)))
 
 
 def set_bnd3(b: int, x: jnp.ndarray) -> jnp.ndarray:

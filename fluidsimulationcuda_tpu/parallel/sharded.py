@@ -207,9 +207,11 @@ def _diffuse_local(b, x_init, rhs, alpha, beta, iters, n, px, py, fuse=8):
     K = max(1, min(fuse, iters, (m - 2) // 2 if m > 4 else 1,
                    (k - 2) // 2 if k > 4 else 1))
 
+    # rhs is chunk-invariant: exchange its K-deep halo once, not per chunk.
+    rhs_ext = _extend_deep(rhs, px, py, K)
+
     def chunk(x, sweeps_in_chunk):
         ext = _extend_deep(x, px, py, K)
-        rhs_ext = _extend_deep(rhs, px, py, K)
         gr, gc = _ext_coords(ext.shape, K)
         interior = (gr >= 1) & (gr <= n) & (gc >= 1) & (gc <= n)
 
@@ -366,10 +368,12 @@ def _cheby_diffuse_local(b, x_init, rhs, alpha, beta, iters, rho,
     # w schedule: sweep 1 is plain (w=None), sweeps 2..iters use cheby_omegas.
     ws = [None] + [float(w) for w in cheby_omegas(rho, iters)]
 
+    # rhs is chunk-invariant: exchange its K-deep halo once, not per chunk.
+    rhs_ext = _extend_deep(rhs, px, py, K)
+
     def chunk(xm, x, ws_chunk):
         ext = _extend_deep(x, px, py, K)
         ext_m = _extend_deep(xm, px, py, K)
-        rhs_ext = _extend_deep(rhs, px, py, K)
         gr, gc = _ext_coords(ext.shape, K)
         interior = (gr >= 1) & (gr <= n) & (gc >= 1) & (gc <= n)
         for w in ws_chunk:  # static unroll: schedule differs per sweep
@@ -473,9 +477,11 @@ def _cg_local(div, iters: int, n: int, px: int, py: int):
 def _mg_smooth_local(p, div, sweeps: int, n: int, px: int, py: int):
     """Damped-Jacobi smoothing (``ops.multigrid._smooth``) on local blocks,
     one 1-halo exchange per sweep."""
+    from ..ops.multigrid import _OMEGA  # single source for the damping weight
+
     dt = p.dtype
-    w = jnp.asarray(0.8, dt)
-    one_m_w = jnp.asarray(1.0 - 0.8, dt)
+    w = jnp.asarray(_OMEGA, dt)
+    one_m_w = jnp.asarray(1.0 - _OMEGA, dt)
     quarter = jnp.asarray(0.25, dt)
     mask = _interior_mask(p, n)
 

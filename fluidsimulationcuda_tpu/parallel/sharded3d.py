@@ -174,9 +174,13 @@ def _diffuse3_local(b, x_init, rhs, alpha, beta, iters, n, pz, fuse=8):
     mz = rhs.shape[0]
     K = max(1, min(fuse, iters, (mz - 2) // 2 if mz > 4 else 1))
 
+    # rhs is chunk-invariant: exchange its K-deep halo ONCE, not per chunk
+    # (with iters=20, K=8 that is 3 chunks -> 2 redundant plane exchanges
+    # per solve otherwise; the Pallas twin already hoists it).
+    rhs_ext = _extend_z(rhs, pz, K)
+
     def chunk(x, sweeps_in_chunk):
         ext = _extend_z(x, pz, K)
-        rhs_ext = _extend_z(rhs, pz, K)
         interior = _interior3_mask(ext, n, K)
         gz = _gz0_ext(ext, K)
 

@@ -72,8 +72,16 @@ def check_stability(cfg: SimConfig, state: FluidState) -> StabilityReport:
 
 
 def is_stable(cfg: SimConfig, state: FluidState) -> bool:
-    """Host-side verdict: finite everywhere AND the state's displacement
-    bound fits the configured gather window (so the next windowed step is
-    provably exact).  Forces a device read-back — host loops only."""
+    """Host-side verdict: finite everywhere AND the *stored state's*
+    displacement bound fits the configured gather window.
+
+    This is a heuristic screen, not an exactness proof: the step's
+    advections backtrace with post-diffusion/post-projection intermediate
+    velocities, which the projection can push past the stored-state bound
+    (exactly why ``step_audited`` measures at the call sites).  A state
+    passing here with displacement near ``max_courant`` can still clamp
+    inside the next step — use ``step_audited``'s returned displacement
+    for the authoritative per-step verdict.  Forces a device read-back —
+    host loops only."""
     rep = check_stability(cfg, state)
     return bool(rep.finite) and float(rep.max_displacement) < cfg.max_courant
