@@ -106,3 +106,35 @@ def test_pallas_smoother_matches_jnp_smoother():
                                    atol=1e-5)
     finally:
         pallas_ops.INTERPRET = prev
+
+
+def test_step_mg_path_engages_pallas_smoother(monkeypatch):
+    """Regression for the round-3 review finding: ``_make_project`` keyed
+    its pallas_smoother sentinel on ``ops.advect_project`` — which is None
+    on EVERY opset (a deliberately-unwired capability) — so ``step()`` with
+    backend='pallas', pressure_solver='multigrid' silently smoothed through
+    the ~10x-slower jnp ``_smooth``.  Pin the discriminator: a pallas opset
+    must reach ``_smooth_pallas``."""
+    prev = pallas_ops.INTERPRET
+    pallas_ops.INTERPRET = True
+    try:
+        from fluidsimulationcuda_tpu.core.config import SimConfig
+        from fluidsimulationcuda_tpu.core.state import reference_init
+        from fluidsimulationcuda_tpu.models.stable_fluids_2d import step
+        from fluidsimulationcuda_tpu.ops import multigrid
+
+        calls = []
+        real = multigrid._smooth_pallas
+
+        def spy(p, div, sweeps, **kw):
+            calls.append(sweeps)
+            return real(p, div, sweeps, **kw)
+
+        monkeypatch.setattr(multigrid, "_smooth_pallas", spy)
+        cfg = SimConfig(n=126, backend="pallas", pressure_solver="multigrid",
+                        mg_cycles=1)
+        state, sources = reference_init(jax.random.key(3), cfg)
+        step(cfg, state, sources)  # trace is enough: the spy records calls
+        assert calls, "pallas opset never reached the Pallas mg smoother"
+    finally:
+        pallas_ops.INTERPRET = prev
