@@ -43,6 +43,7 @@ from fluidsimulationcuda_tpu import (  # noqa: E402
     reference_init,
     step_audited,
     zero_sources,
+    zero_state,
 )
 
 BASELINE_MCELLS_PER_S = 56.8  # derived above
@@ -273,12 +274,13 @@ def perf_mode_line(cfg: SimConfig, steps: int, headline_mcells: float,
     """Measure the performance-mode step at the headline grid, validated
     against the parity Jacobi-20 numerics on the same trajectory.
 
-    ``solver="chebyshev"`` (default): ALL five solves run
-    Chebyshev-accelerated sweeps (``ops/chebyshev.py``) inside the same
-    fused kernels as parity — half the sweeps at measured-better residual.
-    Validated by (a) post-projection max|divergence| <= the Jacobi-20
-    solve's and (b) the diffusion-solve residual ratio <= 1, both on the
-    parity trajectory.
+    ``solver="compensated"`` (default): ALL solves Chebyshev-10 at
+    rho=0.9 with the pressure solve raised to 14 sweeps — the extra
+    pressure sweeps remove exactly the mid-frequency divergence the
+    diffusion swap injects (``dev/bench_r3q_compensated.py``).  Validated
+    by (a) post-projection max|divergence| <= the Jacobi-20 solve's,
+    (b) velocity diffusion-solve residual ratio <= 1, and (c) the density
+    residual bar on a forcing twin, all live on every run.
 
     ``solver="multigrid"``: one bf16x3 V-cycle per pressure solve (the
     reference's named future work, ``document/main.tex:356``); divergence-
@@ -288,6 +290,39 @@ def perf_mode_line(cfg: SimConfig, steps: int, headline_mcells: float,
         perf_cfg = dataclasses.replace(cfg, pressure_solver="multigrid",
                                        mg_cycles=1, fast_math=True)
         label = "multigrid pressure + fast_math"
+    elif solver == "compensated":
+        # The compensated diffusion swap (dev/bench_r3q_compensated.py /
+        # bench_r3r_ship.py): ALL solves on Chebyshev-10 at rho=0.9 with
+        # the pressure solve raised to 14 sweeps to remove the swap's
+        # extra mid-frequency divergence — the decoupling that opens the
+        # otherwise-empty diffusion-swap frontier (r3n).  Validated by
+        # divergence + velocity residual + density residual bars below.
+        perf_cfg = dataclasses.replace(
+            cfg, pressure_solver="chebyshev", diffusion_solver="chebyshev",
+            cheby_rho=0.9, cheby_iters=10, cheby_press_iters=14,
+            fast_math=True)
+        label = ("chebyshev-10 diffusion + chebyshev-14 pressure "
+                 "(rho=0.9, compensated) + fast_math")
+        # A 2-D Chebyshev solve must fit ONE fused kernel call (the
+        # three-term recurrence's x_{k-1} lives in VMEM); large sides
+        # clamp the per-call sweep budget below 10 (8192² -> 7).  Probe
+        # by tracing and fall back to the density-only swap rather than
+        # crash the default line at the reference's headline size.
+        try:
+            st0 = zero_state(perf_cfg)
+            jax.eval_shape(make_step_fn(perf_cfg), st0,
+                           zero_sources(perf_cfg))
+        except ValueError as e:
+            print(f"compensated perf mode infeasible at side="
+                  f"{cfg.n + 2} ({e}); falling back to chebyshev+dens",
+                  file=sys.stderr)
+            solver = "chebyshev+dens"
+            perf_cfg = dataclasses.replace(
+                cfg, pressure_solver="chebyshev",
+                diffusion_solver="chebyshev-dens", fast_math=True)
+            label = (f"chebyshev-{perf_cfg.cheby_iters} pressure + "
+                     f"chebyshev-{perf_cfg.cheby_dens_iters} dens "
+                     f"(rho={perf_cfg.cheby_rho}) + fast_math")
     elif solver == "chebyshev-all":
         # All five solves accelerated: fastest (measured 1920 Mcell/s) but
         # FAILS the divergence bar — swapping the diffusion solver changes
@@ -328,7 +363,7 @@ def perf_mode_line(cfg: SimConfig, steps: int, headline_mcells: float,
         "jacobi_max_abs_divergence": float(f"{div_jac:.3e}"),
         "divergence_ok": bool(div_perf <= div_jac),
     }
-    if solver == "chebyshev-all":
+    if solver in ("chebyshev-all", "compensated"):
         ratio, (rc, rj) = audit_diffusion_residual(perf_cfg, state,
                                                    val_steps)
         rec["diffusion_residual_ratio"] = round(ratio, 3)
@@ -336,6 +371,18 @@ def perf_mode_line(cfg: SimConfig, steps: int, headline_mcells: float,
         print(f"perf-mode diffusion residual: cheby {rc:.3e} vs "
               f"jacobi-{cfg.jacobi_iters} {rj:.3e} (worst ratio "
               f"{ratio:.3f})", file=sys.stderr)
+        if solver == "compensated":
+            # the swap also puts density on cheby-k_d: its own bar
+            dratio, (dc, dj) = audit_dens_residual(
+                dataclasses.replace(perf_cfg,
+                                    cheby_dens_iters=perf_cfg.cheby_iters),
+                state, val_steps)
+            rec["dens_residual_ratio"] = round(dratio, 3)
+            rec["dens_ok"] = bool(dratio <= 1.0)
+            print(f"perf-mode dens residual (forcing twin): "
+                  f"cheby-{perf_cfg.cheby_iters} {dc:.3e} vs "
+                  f"jacobi-{cfg.jacobi_iters} {dj:.3e} (worst ratio "
+                  f"{dratio:.3f})", file=sys.stderr)
     elif solver == "chebyshev+dens":
         ratio, (rc, rj) = audit_dens_residual(cfg, state, val_steps)
         rec["dens_residual_ratio"] = round(ratio, 3)
@@ -371,15 +418,18 @@ def main() -> None:
     ap.add_argument("--backend", default="auto")
     ap.add_argument("--no-perf-mode", action="store_true",
                     help="skip the second (perf-mode) JSON line")
-    ap.add_argument("--perf-solver", default="chebyshev+dens",
-                    choices=("chebyshev", "chebyshev+dens", "chebyshev-all",
-                             "multigrid"),
-                    help="solver for the perf-mode line: chebyshev+dens "
-                         "(pressure + density solves, divergence + "
-                         "dens-residual validated, default), chebyshev "
-                         "(pressure-only, divergence-validated), "
-                         "chebyshev-all (all five solves, fastest, fails "
-                         "the divergence bar — labeled), or multigrid")
+    ap.add_argument("--perf-solver", default="compensated",
+                    choices=("compensated", "chebyshev", "chebyshev+dens",
+                             "chebyshev-all", "multigrid"),
+                    help="solver for the perf-mode line: compensated "
+                         "(ALL solves chebyshev-10 at rho=0.9 with the "
+                         "pressure solve raised to 14 sweeps to absorb the "
+                         "diffusion swap's divergence — validated by "
+                         "divergence + velocity-residual + dens-residual "
+                         "bars, default), chebyshev+dens (pressure + "
+                         "density solves only), chebyshev (pressure-only), "
+                         "chebyshev-all (all five at equal sweeps — fails "
+                         "the divergence bar, labeled), or multigrid")
     ap.add_argument("--cmax", default="auto",
                     help="pallas advection gather window (int, or 'auto' to "
                          "pick the smallest window the audited trajectory "

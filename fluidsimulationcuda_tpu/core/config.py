@@ -72,6 +72,14 @@ class SimConfig:
         margin on BOTH the decay and continuous-forcing trajectories
         (decay 0.73x bar, forcing 0.69x; k=6 passes at 0.85x, k=4
         fails — ``dev/bench_r3m_cheby.py`` / bench.py validates live).
+      cheby_press_iters: pressure-solve sweep count in "chebyshev"
+        pressure mode; 0 (default) follows ``cheby_iters``.  Decoupling
+        exists so the pressure solve can COMPENSATE a diffusion-solver
+        swap: the velocity-diffusion swap injects mid-frequency content
+        that fails the divergence bar at equal sweeps (the adversarial
+        frontier, ``dev/bench_r3n_frontier.py``), but extra pressure
+        sweeps remove exactly that content — see
+        ``dev/bench_r3q_compensated.py`` for the measured joint frontier.
       cheby_rho: Chebyshev interval parameter — a free tuning knob, NOT a
         stability bound (|P_k| <= 1 on [-1, 1] for any value in (0, 1);
         ``ops/chebyshev.py``).  0.99 measured best-or-near across all five
@@ -114,6 +122,7 @@ class SimConfig:
     mg_cycles: int = 2
     cg_iters: int = 20
     cheby_iters: int = 8
+    cheby_press_iters: int = 0
     cheby_rho: float = 0.99
     cheby_dens_iters: int = 10
     advect_mode: str = "auto"
@@ -138,6 +147,9 @@ class SimConfig:
             raise ValueError("cheby_rho must be in (0, 1)")
         if self.cheby_iters < 2:
             raise ValueError("cheby_iters must be >= 2")
+        if self.cheby_press_iters and self.cheby_press_iters < 2:
+            raise ValueError("cheby_press_iters must be 0 (follow "
+                             "cheby_iters) or >= 2")
         if self.cheby_dens_iters < 2:
             raise ValueError("cheby_dens_iters must be >= 2")
         if self.advect_mode not in ("auto", "exact", "windowed"):
@@ -153,10 +165,13 @@ class SimConfig:
                 "ndim=3 supports 'jacobi' and 'chebyshev'"
             )
         if self.ndim == 3 and self.diffusion_solver == "chebyshev":
-            # The VELOCITY diffusion-swap validation frontier is empty in
-            # 2-D (PERFORMANCE.md finding 15); 3-D keeps the same policy.
-            # "chebyshev-dens" is fine in 3-D: the density solve feeds no
-            # divergence, so only its own residual bar applies.
+            # The VELOCITY diffusion swap validates in 2-D only with
+            # pressure compensation, tuned and measured there
+            # (``cheby_press_iters``; PERFORMANCE.md finding 15 + the
+            # compensated row); 3-D has no such measured point, so the
+            # swap stays gated off.  "chebyshev-dens" is fine in 3-D: the
+            # density solve feeds no divergence, so only its own residual
+            # bar applies.
             raise ValueError(
                 "diffusion_solver='chebyshev' is a 2-D mode; "
                 "ndim=3 supports 'jacobi' and 'chebyshev-dens'"
@@ -166,6 +181,11 @@ class SimConfig:
     def grid_shape(self) -> Tuple[int, ...]:
         """Full padded grid shape, ghost border included."""
         return (self.n + 2,) * self.ndim
+
+    @property
+    def press_cheby_iters(self) -> int:
+        """Effective pressure-solve sweep count in chebyshev mode."""
+        return self.cheby_press_iters or self.cheby_iters
 
     @property
     def num_cells(self) -> int:

@@ -424,6 +424,30 @@ def _jacobi_kernel(
     _apply_corners(ob, r0, tm, side)
 
 
+def _sweep_clamp(side: int, tm: int, dtype) -> int:
+    """Max sweeps per fused-kernel call on a ``tm``-row strip: the fused
+    window (tm + 2*ceil(k+1) rows) must fit inside the grid AND the
+    6-window working set must fit VMEM."""
+    st = _sub(dtype)
+    margin_cap = ((side - tm) // 2) // st * st
+    vmem_margin = ((_SWEEP_BUDGET // (side * 4) - 8 * tm) // 12) // st * st
+    return max(1, min(margin_cap, max(vmem_margin, st)) - 1)
+
+
+def cheby_max_iters(side: int, dtype=jnp.float32) -> int:
+    """Largest Chebyshev sweep count a diffusion/pressure solve can run at
+    this grid side: the three-term recurrence's x_{k-1} lives in VMEM, so
+    the whole 2-D solve must fit ONE fused kernel call (``fused_jacobi``
+    raises past this).  Callers (bench.py's compensated perf mode) use it
+    to fall back rather than crash at large sides (8192² clamps to 7)."""
+    tm = _pick_tm(side)
+    if tm is None:
+        return 0
+    if tm == side:
+        return 1 << 20  # whole grid in VMEM: no chaining, no clamp
+    return _sweep_clamp(side, tm, dtype)
+
+
 def fused_jacobi(
     b,
     x_init: jnp.ndarray,
@@ -455,14 +479,8 @@ def fused_jacobi(
     x = x_init
     first = True
     remaining = iters
-    st = _sub(x0.dtype)
     if tm != side:
-        # Fused window (tm + 2*ceil(k+1) rows) must fit inside the grid
-        # AND the 6-window working set must fit VMEM.
-        margin_cap = ((side - tm) // 2) // st * st
-        vmem_margin = ((_SWEEP_BUDGET // (side * 4) - 8 * tm) // 12) // st * st
-        margin_cap = min(margin_cap, max(vmem_margin, st))
-        max_fused = max(1, min(max_fused, margin_cap - 1))
+        max_fused = min(max_fused, _sweep_clamp(side, tm, x0.dtype))
     if src_dt is not None and iters > max_fused:
         # The in-kernel source fold only reaches the FIRST chunk's rhs;
         # chained chunks would sweep against a rhs missing dt*src (caught

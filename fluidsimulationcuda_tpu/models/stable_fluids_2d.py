@@ -61,7 +61,7 @@ def _make_project(cfg: SimConfig, ops):
         # projection kernel as parity Jacobi (ops/chebyshev.py; validated
         # by bench.py's perf-mode divergence audit).
         def _project(u, v):
-            return ops.project(u, v, cfg.n, cfg.cheby_iters,
+            return ops.project(u, v, cfg.n, cfg.press_cheby_iters,
                                cheby_rho=cfg.cheby_rho)
     else:
         def _project(u, v):

@@ -121,7 +121,7 @@ class _Ops3:
     def project(self, u, v, w, iters):
         cfg = self.cfg
         if cfg.pressure_solver == "chebyshev":
-            iters = cfg.cheby_iters
+            iters = cfg.press_cheby_iters
             rho = cfg.cheby_rho
         else:
             rho = None

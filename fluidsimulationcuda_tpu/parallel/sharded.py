@@ -580,7 +580,7 @@ def _make_project_local(cfg: SimConfig, px: int, py: int):
             return _cg_local(div, cfg.cg_iters, n, px, py)
     elif cfg.pressure_solver == "chebyshev":
         def solve(div):
-            return _cheby_pressure_local(div, cfg.cheby_iters,
+            return _cheby_pressure_local(div, cfg.press_cheby_iters,
                                          cfg.cheby_rho, n, px, py)
     else:
         def solve(div):
@@ -710,7 +710,7 @@ def _step_local_pallas(cfg: SimConfig, px: int, audited: bool,
     # exchanges otherwise) — cheby_iters <= ~10 fits a K=ceil8(iters+1)
     # halo comfortably on any shard with m >= K.
     cheby_p = cfg.pressure_solver == "chebyshev"
-    it_p = cfg.cheby_iters if cheby_p else it
+    it_p = cfg.press_cheby_iters if cheby_p else it
     rho_p = cfg.cheby_rho if cheby_p else None
 
     if cfg.pressure_solver == "multigrid":

@@ -185,6 +185,65 @@ def test_step_audited_matches_step_under_cheby_modes():
         assert np.isfinite(float(disp))
 
 
+def test_cheby_press_iters_plumbing():
+    """``cheby_press_iters`` decouples the PRESSURE sweep count (the
+    compensated perf mode's knob, bench.py ``--perf-solver compensated``):
+    with a jacobi diffusion solver only the pressure solve reads it, so
+    (cheby_iters=6, cheby_press_iters=10) must be BIT-identical to
+    (cheby_iters=10) — on both backends."""
+    kw = dict(n=SIDE - 2, pressure_solver="chebyshev", jacobi_iters=8,
+              max_courant=2, advect_mode="windowed")
+    for backend in ("reference", "pallas"):
+        cfg_a = SimConfig(backend=backend, cheby_iters=6,
+                          cheby_press_iters=10, **kw)
+        cfg_b = SimConfig(backend=backend, cheby_iters=10, **kw)
+        state, src = reference_init(jax.random.key(11), cfg_a)
+        sa = make_step_fn(cfg_a)(state, src)
+        sb = make_step_fn(cfg_b)(state, src)
+        sc = make_step_fn(SimConfig(backend=backend, cheby_iters=6, **kw))(
+            state, src)
+        for name in ("dens", "u", "v"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(sa, name)), np.asarray(getattr(sb, name)),
+                err_msg=f"{backend}/{name}")
+        d = np.abs(np.asarray(sa.u) - np.asarray(sc.u)).max()
+        assert d > 0, f"{backend}: press_iters=10 should differ from 6"
+
+
+def test_cheby_press_iters_plumbing_3d():
+    """Same decoupling through the 3-D chain (``_Ops3.project``)."""
+    from fluidsimulationcuda_tpu.models.stable_fluids_3d import (
+        make_step_fn_3d,
+    )
+    kw = dict(n=14, ndim=3, pressure_solver="chebyshev", jacobi_iters=6,
+              backend="reference", max_courant=2, advect_mode="windowed")
+    cfg_a = SimConfig(cheby_iters=4, cheby_press_iters=8, **kw)
+    cfg_b = SimConfig(cheby_iters=8, **kw)
+    state, src = reference_init(jax.random.key(12), cfg_a)
+    sa = make_step_fn_3d(cfg_a)(state, src)
+    sb = make_step_fn_3d(cfg_b)(state, src)
+    for name in ("dens", "u", "v", "w"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(sa, name)), np.asarray(getattr(sb, name)),
+            err_msg=name)
+
+
+def test_cheby_max_iters():
+    """The feasibility probe bench.py's compensated mode falls back on:
+    a 2-D Chebyshev solve must fit ONE fused kernel call (x_{k-1} lives
+    in VMEM), so large sides clamp the sweep budget."""
+    from fluidsimulationcuda_tpu.kernels.pallas_ops import cheby_max_iters
+    # the measured 8192² clamp (bench fallback message pins 7; the bench
+    # grids use power-of-two SIDES, n = side - 2)
+    assert cheby_max_iters(8192) == 7
+    # 2048² must admit the shipped compensated mode (14 pressure sweeps)
+    assert cheby_max_iters(2048) >= 14
+    # sides the strip planner declines entirely report 0 (callers fall back)
+    assert cheby_max_iters(8194) == 0
+    # small grids are whole-grid in VMEM: unclamped
+    assert cheby_max_iters(SIDE) > 100
+
+
 def test_config_validation():
     with pytest.raises(ValueError):
         SimConfig(n=30, pressure_solver="chebyshev", cheby_rho=1.5)
@@ -196,3 +255,9 @@ def test_config_validation():
     SimConfig(n=30, ndim=3, diffusion_solver="chebyshev-dens")
     with pytest.raises(ValueError):
         SimConfig(n=30, diffusion_solver="chebyshev-dens", cheby_dens_iters=1)
+    with pytest.raises(ValueError):
+        SimConfig(n=30, cheby_press_iters=1)
+    # 0 follows cheby_iters; nonzero overrides the pressure solve only
+    assert SimConfig(n=30, cheby_iters=6).press_cheby_iters == 6
+    assert SimConfig(n=30, cheby_iters=6,
+                     cheby_press_iters=14).press_cheby_iters == 14

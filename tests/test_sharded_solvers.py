@@ -105,6 +105,28 @@ def test_sharded_diffusion_solver_matches_unsharded(dsolver, mesh_shape):
         )
 
 
+def test_sharded_cheby_press_iters_plumbing():
+    """``cheby_press_iters`` reaches the sharded pressure solve
+    (``_cheby_pressure_local`` / the slab kernels): with jacobi diffusion,
+    (cheby_iters=5, cheby_press_iters=8) is bit-identical to
+    (cheby_iters=8) on the mesh."""
+    kw = dict(n=30, jacobi_iters=8, backend="reference",
+              pressure_solver="chebyshev")
+    cfg_a = SimConfig(cheby_iters=5, cheby_press_iters=8, **kw)
+    cfg_b = SimConfig(cheby_iters=8, **kw)
+    state, sources = reference_init(jax.random.key(14), cfg_a)
+    zeros = zero_sources(cfg_a)
+    mesh = make_mesh(jax.devices()[:4], (2, 2))
+    sa = _run(make_sharded_step_fn(cfg_a, mesh), shard_state(state, mesh),
+              shard_state(sources, mesh), shard_state(zeros, mesh), 2)
+    sb = _run(make_sharded_step_fn(cfg_b, mesh), shard_state(state, mesh),
+              shard_state(sources, mesh), shard_state(zeros, mesh), 2)
+    for name in ("dens", "u", "v"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(sa, name)), np.asarray(getattr(sb, name)),
+            err_msg=name)
+
+
 @pytest.mark.slow
 @pytest.mark.parametrize("dsolver", ["chebyshev", "chebyshev-dens"])
 def test_sharded_pallas_path_with_diffusion_solver(dsolver):
