@@ -53,6 +53,17 @@ def _add_common(p):
                    help="reciprocal-multiply Jacobi sweeps (~1 ulp/sweep "
                         "from parity; pairs with --pressure-solver "
                         "chebyshev for the bench.py perf mode)")
+    p.add_argument("--cheby-iters", type=int, default=8,
+                   help="sweeps per solve in chebyshev modes")
+    p.add_argument("--cheby-press-iters", type=int, default=0,
+                   help="decoupled pressure sweep count (0 = follow "
+                        "--cheby-iters); the compensated perf mode is "
+                        "--diffusion-solver chebyshev --pressure-solver "
+                        "chebyshev --cheby-iters 10 --cheby-press-iters 14 "
+                        "--cheby-rho 0.9 --fast-math")
+    p.add_argument("--cheby-rho", type=float, default=0.99,
+                   help="Chebyshev interval parameter (free knob, not a "
+                        "stability bound; ops/chebyshev.py)")
 
 
 def _cfg(args):
@@ -62,6 +73,9 @@ def _cfg(args):
                      diffusion_solver=getattr(args, "diffusion_solver",
                                               "jacobi"),
                      fast_math=getattr(args, "fast_math", False),
+                     cheby_iters=getattr(args, "cheby_iters", 8),
+                     cheby_press_iters=getattr(args, "cheby_press_iters", 0),
+                     cheby_rho=getattr(args, "cheby_rho", 0.99),
                      ndim=getattr(args, "ndim", 2))
 
 

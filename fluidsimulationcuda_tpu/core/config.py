@@ -64,7 +64,14 @@ class SimConfig:
         sweeps for the DENSITY solve only — the velocity trajectory stays
         bit-identical to parity, so unlike the full swap the divergence
         bar is untouched by construction and only the density-solve
-        residual bar applies; ``dev/bench_r3p_denscheby.py``).
+        residual bar applies; ``dev/bench_r3p_denscheby.py``).  Measured
+        operating points for the full swap (it must be COMPENSATED by a
+        chebyshev pressure solve, see ``cheby_press_iters``): 2-D
+        (rho=0.9, k_d=10, k_p=14) — bench.py's default perf mode; 3-D
+        (rho=0.85, k_d=10, k_p=8) — the pass set is exactly {rho=0.85,
+        k_d=10, k_p >= 8} and the 2-D point FAILS the 3-D velocity
+        residual bar (``dev/bench_r3s_3dcomp.py``), so use the
+        per-dimensionality points, not intuition.
       mg_cycles: V-cycles per pressure solve in multigrid mode.
       cg_iters: CG iterations per pressure solve in cg mode.
       cheby_iters: sweeps per solve in chebyshev modes.  Default 8:
@@ -164,17 +171,21 @@ class SimConfig:
                 "pressure_solver='multigrid'/'cg' are 2-D solvers; "
                 "ndim=3 supports 'jacobi' and 'chebyshev'"
             )
-        if self.ndim == 3 and self.diffusion_solver == "chebyshev":
-            # The VELOCITY diffusion swap validates in 2-D only with
-            # pressure compensation, tuned and measured there
-            # (``cheby_press_iters``; PERFORMANCE.md finding 15 + the
-            # compensated row); 3-D has no such measured point, so the
-            # swap stays gated off.  "chebyshev-dens" is fine in 3-D: the
-            # density solve feeds no divergence, so only its own residual
-            # bar applies.
+        if (self.ndim == 3 and self.diffusion_solver == "chebyshev"
+                and self.pressure_solver != "chebyshev"):
+            # The VELOCITY diffusion swap validates (2-D and 3-D) only
+            # with pressure compensation: the swap's extra mid-frequency
+            # divergence must be absorbed by a raised Chebyshev pressure
+            # sweep count (``cheby_press_iters``; PERFORMANCE.md finding
+            # 15 + the compensated rows; 3-D point measured in
+            # ``dev/bench_r3s_3dcomp.py``).  An uncompensated 3-D swap
+            # (jacobi/mg/cg pressure) has no validated operating point,
+            # so it stays gated off rather than silently mis-reporting
+            # the numerics actually run.
             raise ValueError(
-                "diffusion_solver='chebyshev' is a 2-D mode; "
-                "ndim=3 supports 'jacobi' and 'chebyshev-dens'"
+                "ndim=3 diffusion_solver='chebyshev' requires "
+                "pressure_solver='chebyshev' (the compensated mode); "
+                "uncompensated 3-D swaps have no validated operating point"
             )
 
     @property

@@ -156,9 +156,17 @@ def vel_step3(cfg: SimConfig, u, v, w, u_src, v_src, w_src):
     alpha = cfg.diffusion_alpha_visc
     beta = 1.0 + 6.0 * alpha
     it = cfg.jacobi_iters
-    u = ops.diffuse(1, u_src, u, alpha, beta, it)
-    v = ops.diffuse(2, v_src, v, alpha, beta, it)
-    w = ops.diffuse(3, w_src, w, alpha, beta, it)
+    if cfg.diffusion_solver == "chebyshev":
+        # 3-D compensated mode: velocity diffusion on Chebyshev sweeps,
+        # with the extra mid-frequency divergence absorbed by the raised
+        # pressure sweep count (``cheby_press_iters``) — the 3-D twin of
+        # the 2-D compensated point (dev/bench_r3s_3dcomp.py).
+        d_it, d_rho = cfg.cheby_iters, cfg.cheby_rho
+    else:
+        d_it, d_rho = it, None
+    u = ops.diffuse(1, u_src, u, alpha, beta, d_it, cheby_rho=d_rho)
+    v = ops.diffuse(2, v_src, v, alpha, beta, d_it, cheby_rho=d_rho)
+    w = ops.diffuse(3, w_src, w, alpha, beta, d_it, cheby_rho=d_rho)
     u, v, w = ops.project(u, v, w, it)
     u, v, w = ops.advect_self(u, v, w)
     return ops.project(u, v, w, it)
@@ -174,6 +182,11 @@ def dens_step3(cfg: SimConfig, dens, dens_src, u, v, w):
         # trajectory stays bit-parity; validated by the dens residual bar.
         dens = ops.diffuse(0, dens_src, dens, alpha, beta,
                            cfg.cheby_dens_iters, cheby_rho=cfg.cheby_rho)
+    elif cfg.diffusion_solver == "chebyshev":
+        # Full swap (2-D compensated-mode semantics, _diffusion_args):
+        # density rides the same cheby_iters/rho as the velocity solves.
+        dens = ops.diffuse(0, dens_src, dens, alpha, beta,
+                           cfg.cheby_iters, cheby_rho=cfg.cheby_rho)
     else:
         dens = ops.diffuse(0, dens_src, dens, alpha, beta, cfg.jacobi_iters)
     return ops.advect(0, dens, u, v, w)
@@ -210,9 +223,14 @@ def step_audited3(cfg: SimConfig, state: FluidState, sources: Sources):
     alpha = cfg.diffusion_alpha_visc
     beta = 1.0 + 6.0 * alpha
     it = cfg.jacobi_iters
-    u = ops.diffuse(1, sources.u, u, alpha, beta, it)
-    v = ops.diffuse(2, sources.v, v, alpha, beta, it)
-    w = ops.diffuse(3, sources.w, w, alpha, beta, it)
+    if cfg.diffusion_solver == "chebyshev":  # keep the audit replay on the
+        # SAME trajectory as step3() under every diffusion_solver mode
+        d_it, d_rho = cfg.cheby_iters, cfg.cheby_rho
+    else:
+        d_it, d_rho = it, None
+    u = ops.diffuse(1, sources.u, u, alpha, beta, d_it, cheby_rho=d_rho)
+    v = ops.diffuse(2, sources.v, v, alpha, beta, d_it, cheby_rho=d_rho)
+    w = ops.diffuse(3, sources.w, w, alpha, beta, d_it, cheby_rho=d_rho)
     u, v, w = ops.project(u, v, w, it)
     d_vel = _disp(u, v, w)  # what self-advection backtraces with
     u, v, w = ops.advect_self(u, v, w)

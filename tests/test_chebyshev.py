@@ -249,12 +249,45 @@ def test_config_validation():
         SimConfig(n=30, pressure_solver="chebyshev", cheby_rho=1.5)
     with pytest.raises(ValueError):
         SimConfig(n=30, diffusion_solver="sor")
+    # 3-D velocity diffusion swap: legal ONLY compensated (chebyshev
+    # pressure absorbing the swap's divergence — dev/bench_r3s_3dcomp.py);
+    # an uncompensated 3-D swap has no validated operating point.
     with pytest.raises(ValueError):
         SimConfig(n=30, ndim=3, diffusion_solver="chebyshev")
+    SimConfig(n=30, ndim=3, diffusion_solver="chebyshev",
+              pressure_solver="chebyshev")
     # chebyshev-dens IS legal in 3-D (density feeds no divergence).
     SimConfig(n=30, ndim=3, diffusion_solver="chebyshev-dens")
     with pytest.raises(ValueError):
         SimConfig(n=30, diffusion_solver="chebyshev-dens", cheby_dens_iters=1)
+
+
+def test_compensated_3d_audit_twin_and_engagement():
+    """3-D compensated mode (velocity+dens diffusion on Chebyshev, pressure
+    compensated): ``step_audited3`` must follow the SAME trajectory as
+    ``step3`` (separately-coded paths), and the swap must actually engage
+    (differ from the jacobi-diffusion twin)."""
+    import functools
+
+    from fluidsimulationcuda_tpu.models.stable_fluids_3d import (
+        make_step_fn_3d, step_audited3,
+    )
+
+    kw = dict(n=14, ndim=3, jacobi_iters=6, pressure_solver="chebyshev",
+              cheby_iters=4, cheby_press_iters=6, backend="reference",
+              max_courant=2, advect_mode="windowed")
+    cfg = SimConfig(diffusion_solver="chebyshev", **kw)
+    state, src = reference_init(jax.random.key(13), cfg)
+    want = make_step_fn_3d(cfg)(state, src)
+    got, disp = jax.jit(functools.partial(step_audited3, cfg))(state, src)
+    for name in ("dens", "u", "v", "w"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(got, name)), np.asarray(getattr(want, name)),
+            err_msg=name)
+    assert np.isfinite(float(disp))
+    s_j = make_step_fn_3d(SimConfig(**kw))(state, src)
+    assert np.abs(np.asarray(want.u) - np.asarray(s_j.u)).max() > 0, \
+        "velocity diffusion swap should engage (cheby-4 != jacobi-6)"
     with pytest.raises(ValueError):
         SimConfig(n=30, cheby_press_iters=1)
     # 0 follows cheby_iters; nonzero overrides the pressure solve only

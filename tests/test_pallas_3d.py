@@ -263,6 +263,39 @@ def test_step3_chebyshev_pallas_matches_jnp(rng):
 
 
 @pytest.mark.slow
+def test_step3_compensated_pallas_matches_jnp(rng):
+    """3-D compensated mode (velocity + density diffusion on Chebyshev,
+    pressure on a raised Chebyshev sweep count — the 3-D twin of the 2-D
+    default perf mode, dev/bench_r3s_3dcomp.py): all five solves route the
+    chain kernels; pallas == jnp spec at the step level."""
+    from fluidsimulationcuda_tpu.core.state import FluidState, Sources
+    from fluidsimulationcuda_tpu.models.stable_fluids_3d import step3
+
+    cfg_p = SimConfig(n=N, ndim=3, jacobi_iters=5, backend="pallas",
+                      max_courant=2, pressure_solver="chebyshev",
+                      diffusion_solver="chebyshev", cheby_iters=4,
+                      cheby_press_iters=6, cheby_rho=0.9)
+    cfg_r = cfg_p.replace(backend="reference")
+    k = jax.random.split(jax.random.key(3), 4)
+    shape = (SIDE,) * 3
+    src = Sources(
+        dens=jax.random.uniform(k[0], shape, jnp.float32),
+        u=jax.random.uniform(k[1], shape, jnp.float32, -1, 1) * 0.1,
+        v=jax.random.uniform(k[2], shape, jnp.float32, -1, 1) * 0.1,
+        w=jax.random.uniform(k[3], shape, jnp.float32, -1, 1) * 0.1,
+    )
+    zeros = jnp.zeros(shape, jnp.float32)
+    state = FluidState(dens=zeros, u=zeros, v=zeros, w=zeros)
+    sp = functools.partial(step3, cfg_p)(state, src)
+    sr = functools.partial(step3, cfg_r)(state, src)
+    for name in ("dens", "u", "v", "w"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(sp, name)), np.asarray(getattr(sr, name)),
+            rtol=0, atol=2e-5, err_msg=name,
+        )
+
+
+@pytest.mark.slow
 def test_step3_chebyshev_dens_pallas_matches_jnp(rng):
     """3-D density-only Chebyshev (``diffusion_solver="chebyshev-dens"``)
     through the model dispatch: the dens solve runs the chain kernel with
