@@ -410,6 +410,183 @@ def perf_mode_line(cfg: SimConfig, steps: int, headline_mcells: float,
     return rec
 
 
+def bench_3d(args) -> None:
+    """BASELINE config 5 as a first-class bench lane (``--ndim 3``): 256³
+    smoke volume, audited window, plus the 3-D compensated perf-mode line
+    with all three bars validated live on a forced twin (the 3-D decay
+    trajectory's velocities collapse to sub-mcell scales, so a decay bar
+    would compare noise — same reasoning as audit_dens_residual).
+
+    The measured 3-D operating point is (rho=0.85, k_d=10, k_p=12) — NOT
+    the 2-D compensated point, which fails the 3-D velocity-residual bar
+    (``dev/bench_r3s_3dcomp.py``: rho=0.9 → v_res 2.46).  The pressure
+    count is also SIZE-coupled: k_p=8 passes at 128³ but fails the 256³
+    live bar by 5%, k_p=10 passes 256³ at 0.97x (no margin), k_p=12 at
+    0.91x (``dev/bench_r3s2_3dcomp_256.py``) — fewest sweeps with margin
+    at the size this lane validates at.  vs_baseline is null: the
+    reference is strictly 2-D (its report has no 3-D row to compare
+    against)."""
+    from fluidsimulationcuda_tpu.models.stable_fluids_3d import (
+        make_step_fn_3d, step_audited3,
+    )
+    from fluidsimulationcuda_tpu.ops import three_d as o3
+    from fluidsimulationcuda_tpu.ops.chebyshev import cheby_diffuse3
+
+    n = args.n if args.n != 2046 else 254  # 2-D default -> config 5's 256³
+    cfg = SimConfig(n=n, ndim=3, jacobi_iters=args.iters,
+                    backend=args.backend,
+                    max_courant=2 if args.cmax == "auto" else int(args.cmax))
+    state0, sources = reference_init(jax.random.key(0), cfg)
+
+    # --- audited window (decay trajectory; injection displaces < 1 cell
+    # at 256³ so no exact-gather injection step is needed, unlike 2-D)
+    def audit(cfg, steps):
+        audited = jax.jit(functools.partial(step_audited3, cfg))
+        s, worst = state0, 0.0
+        src = sources
+        for _ in range(steps):
+            s, d = audited(s, src)
+            src = zero_sources(cfg)
+            worst = max(worst, float(d))
+        return worst
+
+    steps = args.steps
+    disp = audit(cfg, min(steps, 20))
+    if args.cmax == "auto":
+        cmax = max(1, int(math.floor(disp)) + 1)
+        cfg = dataclasses.replace(cfg, max_courant=cmax)
+    print(f"audited 3-D displacement {disp:.3f} cells -> window "
+          f"+-{cfg.max_courant}", file=sys.stderr)
+
+    def timed(cfg):
+        step_fn = make_step_fn_3d(cfg)
+        state = step_fn(state0, sources)  # injection + warm compile
+        zeros = zero_sources(cfg)
+
+        def run(k):
+            s = state
+            for _ in range(k):
+                s = step_fn(s, zeros)
+            _ = float(s.dens.ravel()[0])
+
+        run(1)
+        short, long_ = max(2, steps // 5), steps
+
+        def t(k):
+            t0 = time.perf_counter()
+            run(k)
+            return time.perf_counter() - t0
+
+        t(short)
+        t_s = min(t(short) for _ in range(2))
+        t_l = min(t(long_) for _ in range(2))
+        return max((t_l - t_s) / (long_ - short), 1e-9)
+
+    sec = timed(cfg)
+    mcells = cfg.num_cells / sec / 1e6
+    print(f"{sec * 1e3:.3f} ms/step at {cfg.n + 2}^3, {cfg.jacobi_iters} "
+          f"Jacobi iters", file=sys.stderr)
+    print(json.dumps({
+        "metric": f"3-D full-step throughput @ {cfg.n + 2}^3, "
+                  f"{cfg.jacobi_iters} Jacobi iters, advect window "
+                  f"+-{cfg.max_courant}",
+        "value": round(mcells, 1),
+        "unit": "Mcell-updates/s",
+        "vs_baseline": None,
+        "note": "the reference is strictly 2-D; no 3-D baseline exists",
+        "max_displacement_cells": round(disp, 3),
+    }))
+    if args.no_perf_mode:
+        return
+
+    # --- perf-mode line: 3-D compensated, bars live on a forced twin
+    perf_cfg = dataclasses.replace(
+        cfg, diffusion_solver="chebyshev", pressure_solver="chebyshev",
+        cheby_rho=0.85, cheby_iters=10, cheby_press_iters=12,
+        fast_math=True)
+    drive = jax.tree.map(lambda s: 0.05 * s, sources)
+    val_steps = min(8, steps)
+
+    def forced_states(c):
+        f = make_step_fn_3d(c)
+        s, out = state0, []
+        for _ in range(val_steps):
+            s = f(s, drive)
+            out.append(s)
+        return out
+
+    @jax.jit
+    def div_inf(s):
+        return jnp.max(jnp.abs(o3.divergence3(s.u, s.v, s.w, cfg.n)))
+
+    a_v = cfg.diffusion_alpha_visc
+    b_v = 1.0 + 6.0 * a_v
+    a_d = cfg.diffusion_alpha_diff
+    b_d = 1.0 + 6.0 * a_d
+
+    @jax.jit
+    def resid_pair(u, dens, ddens):
+        def resid(x, rhs, alpha, beta):
+            c = x[1:-1, 1:-1, 1:-1]
+            nb = (x[1:-1, 1:-1, :-2] + x[1:-1, 1:-1, 2:]
+                  + x[1:-1, :-2, 1:-1] + x[1:-1, 2:, 1:-1]
+                  + x[:-2, 1:-1, 1:-1] + x[2:, 1:-1, 1:-1])
+            return jnp.max(jnp.abs(jnp.float32(beta) * c
+                                   - rhs[1:-1, 1:-1, 1:-1]
+                                   - jnp.float32(alpha) * nb))
+
+        zero = jnp.zeros_like(u)
+        rj_v = resid(o3.diffuse3(1, zero, u, a_v, b_v, cfg.jacobi_iters),
+                     u, a_v, b_v)
+        rc_v = resid(cheby_diffuse3(1, zero, u, a_v, b_v,
+                                    perf_cfg.cheby_iters,
+                                    perf_cfg.cheby_rho), u, a_v, b_v)
+        rhs_d = dens + jnp.float32(cfg.dt) * ddens
+        rj_d = resid(o3.diffuse3(0, rhs_d, rhs_d, a_d, b_d,
+                                 cfg.jacobi_iters), rhs_d, a_d, b_d)
+        rc_d = resid(cheby_diffuse3(0, rhs_d, rhs_d, a_d, b_d,
+                                    perf_cfg.cheby_iters,
+                                    perf_cfg.cheby_rho), rhs_d, a_d, b_d)
+        return rc_v, rj_v, rc_d, rj_d
+
+    bar = max(float(div_inf(s)) for s in forced_states(cfg))
+    perf_states = forced_states(perf_cfg)
+    div_perf = max(float(div_inf(s)) for s in perf_states)
+    wv = wd = 0.0
+    for s in perf_states:
+        rc_v, rj_v, rc_d, rj_d = map(float,
+                                     resid_pair(s.u, s.dens, drive.dens))
+        if rj_v > 0:
+            wv = max(wv, rc_v / rj_v)
+        if rj_d > 0:
+            wd = max(wd, rc_d / rj_d)
+    sec_p = timed(perf_cfg)
+    mcells_p = perf_cfg.num_cells / sec_p / 1e6
+    print(f"3-D perf mode (compensated rho=0.85 k_d=10 k_p=12): "
+          f"{sec_p * 1e3:.3f} ms/step; max|div| {div_perf:.2e} vs jacobi "
+          f"{bar:.2e}, v_res {wv:.3f}, d_res {wd:.3f} over {val_steps} "
+          f"forced steps", file=sys.stderr)
+    print(json.dumps({
+        "metric": f"3-D perf-mode throughput @ {cfg.n + 2}^3 (compensated: "
+                  f"all solves chebyshev-10 @ rho=0.85, pressure 12 sweeps, "
+                  f"fast_math), vs jacobi-{cfg.jacobi_iters} parity",
+        "value": round(mcells_p, 1),
+        "unit": "Mcell-updates/s",
+        "vs_baseline": None,
+        "vs_parity_headline": round(mcells_p / mcells, 2),
+        "max_abs_divergence": float(f"{div_perf:.3e}"),
+        "jacobi_max_abs_divergence": float(f"{bar:.3e}"),
+        "divergence_ok": bool(div_perf <= bar),
+        "diffusion_residual_ratio": round(wv, 3),
+        "diffusion_ok": bool(wv <= 1.0),
+        "dens_residual_ratio": round(wd, 3),
+        "dens_ok": bool(wd <= 1.0),
+        "validation_trajectory": f"continuous forcing x0.05, {val_steps} "
+                                 f"steps (3-D decay velocities collapse "
+                                 f"to noise scales)",
+    }))
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=2046)
@@ -440,10 +617,19 @@ def main() -> None:
                     help="drive the reference's random sources (scaled) "
                          "EVERY step — continuous inflow with sustained "
                          "displacement; auto-cmax picks the honest window")
+    ap.add_argument("--ndim", type=int, default=2, choices=(2, 3),
+                    help="3 runs BASELINE config 5 (256^3 smoke volume) "
+                         "with the 3-D compensated perf-mode line")
     args = ap.parse_args()
 
     print(f"jax {jax.__version__} backend={jax.default_backend()} "
           f"devices={jax.devices()}", file=sys.stderr)
+
+    if args.ndim == 3:
+        if args.steps == 100:
+            args.steps = 15  # 256³ steps are ~40 ms; 15 gives a clean slope
+        bench_3d(args)
+        return
 
     auto_cmax = args.cmax == "auto"
     cmax0 = 2 if auto_cmax else int(args.cmax)

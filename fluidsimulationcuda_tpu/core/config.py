@@ -68,10 +68,12 @@ class SimConfig:
         operating points for the full swap (it must be COMPENSATED by a
         chebyshev pressure solve, see ``cheby_press_iters``): 2-D
         (rho=0.9, k_d=10, k_p=14) — bench.py's default perf mode; 3-D
-        (rho=0.85, k_d=10, k_p=8) — the pass set is exactly {rho=0.85,
-        k_d=10, k_p >= 8} and the 2-D point FAILS the 3-D velocity
-        residual bar (``dev/bench_r3s_3dcomp.py``), so use the
-        per-dimensionality points, not intuition.
+        (rho=0.85, k_d=10, k_p=12).  The 2-D point FAILS the 3-D
+        velocity residual bar, rho/k_d are brittle
+        (``dev/bench_r3s_3dcomp.py``), and k_p is size-coupled — k_p=8
+        passes every bar at 128³ yet fails the 256³ divergence bar by
+        5% (``dev/bench_r3s2_3dcomp_256.py``) — so use the measured
+        points, not intuition.
       mg_cycles: V-cycles per pressure solve in multigrid mode.
       cg_iters: CG iterations per pressure solve in cg mode.
       cheby_iters: sweeps per solve in chebyshev modes.  Default 8:
