@@ -79,6 +79,37 @@ def main():
           f"({cells/t_s/1e6:.0f} Mcell/s)")
     print(f"ratio: {t_b/t_s*100:.1f}% of unsharded throughput")
 
+    # Lane 2: the 3-D compensated perf mode through the slab CHAIN
+    # kernels (fused_cheby3_slab segments, x_{k-1} carried across
+    # exchanges) vs the unsharded chain — the compiled-Mosaic twin of
+    # tests/test_sharded_3d.py::test_sharded_pallas_3d_cheby_*.
+    ccfg = cfg.replace(pressure_solver="chebyshev",
+                       diffusion_solver="chebyshev", cheby_rho=0.85,
+                       cheby_iters=10, cheby_press_iters=12,
+                       fast_math=True)
+    base_c = make_step_fn_3d(ccfg)
+    out_bc = base_c(state, src)
+    jax.block_until_ready(out_bc)
+    sh_c = make_sharded_step_fn_3d(ccfg, mesh, advect_mode="windowed",
+                                   shard_backend="pallas")
+    assert sh_c.shard_backend == "pallas"
+    out_sc = sh_c(sst, ssrc)
+    jax.block_until_ready(out_sc)
+    for f in ("dens", "u", "v", "w"):
+        d = float(
+            jnp.max(jnp.abs(getattr(out_sc, f) - getattr(out_bc, f)))
+        )
+        finite = bool(jnp.all(jnp.isfinite(getattr(out_sc, f))))
+        print(f"compensated parity {f}: max|d| = {d:.3e} "
+              f"(finite={finite})")
+    t_bc = slope(base_c, state, src)
+    t_sc = slope(sh_c, sst, ssrc)
+    print(f"unsharded compensated 3-D: {t_bc*1e3:.2f} ms/step "
+          f"({cells/t_bc/1e6:.0f} Mcell/s)")
+    print(f"1-mesh shard_map compensated 3-D: {t_sc*1e3:.2f} ms/step "
+          f"({cells/t_sc/1e6:.0f} Mcell/s)")
+    print(f"ratio: {t_bc/t_sc*100:.1f}% of unsharded throughput")
+
 
 if __name__ == "__main__":
     main()

@@ -36,7 +36,9 @@ from .pallas_ops_3d import (_advect3_flat_need, _flat_gather_body,
 __all__ = [
     "slab3_supported",
     "jacobi3_slab_plan",
+    "cheby3_slab_plan",
     "fused_jacobi3_slab",
+    "fused_cheby3_slab",
     "advect3_slab_plan",
     "advect3_flat_slab",
 ]
@@ -76,6 +78,28 @@ def jacobi3_slab_plan(mz: int, side: int, max_fused: int):
     return best if best is not None else (None, None)
 
 
+def cheby3_slab_plan(mz: int, side: int, max_fused: int):
+    """(tz, K) for the Chebyshev CHAIN slab segments (nin=3: x, x_{k-1},
+    rhs streamed; nout=2: both final iterates written) — same calibrated
+    cost model as ``jacobi3_slab_plan`` with the chain's operand counts,
+    the slab twin of ``pallas_ops_3d._jacobi3_plan(nin=3, nout=2)``."""
+    best = None
+    best_cost = None
+    for tz in (16, 8, 4, 2, 1):
+        if mz % tz:
+            continue
+        for K in range(max_fused, 0, -1):
+            if K + 1 > mz:
+                continue
+            wz = tz + 2 * (K + 1)
+            if _jacobi3_need(tz, K, side, 3, 2) > _VMEM3_CEIL:
+                continue
+            cost = wz / tz + _JAC3_DMA_WEIGHT * (3 * wz + 2 * tz) / (tz * K)
+            if best is None or cost < best_cost:
+                best, best_cost = (tz, K), cost
+    return best if best is not None else (None, None)
+
+
 def slab3_supported(mz: int, side: int, cmax: int) -> bool:
     """Can the compiled 3-D slab kernels run on (mz, side, side) slabs?"""
     if _interpret():
@@ -91,10 +115,11 @@ def slab3_supported(mz: int, side: int, cmax: int) -> bool:
 
 
 def _jacobi3_slab_kernel(
-    flags_ref, x_hbm, rhs_hbm, out_ref, xs2, rhs2, buf_b, buf_c, sems,
-    *, b: int, alpha: float, beta: float, sweeps: int,
+    *refs,
+    b: int, alpha: float, beta: float, sweeps: int,
     tz: int, wz: int, side: int, H: int, mz: int, zero_init: bool,
-    nstrips: int, fast: bool,
+    nstrips: int, fast: bool, ws: tuple | None = None,
+    carry_in: bool = False, carry_out: bool = False,
 ):
     """K-margin fused sweeps over one strip of the extended slab.
 
@@ -103,7 +128,31 @@ def _jacobi3_slab_kernel(
       window = ext planes [gi*tz, gi*tz + wz), wz = tz + 2H
       output = window planes [H, H+tz) <-> slab planes [gi*tz, ...)
       global ghost planes at ext H (top shard) / ext H+mz-1 (bottom).
-    """
+
+    Chebyshev chain mode (``ws`` set — the slab twin of
+    ``pallas_ops_3d._jacobi3_kernel``'s chain): static per-sweep w
+    factors, ``carry_in`` streams the halo-extended x_{k-1} slab (the
+    three-term combine is POINTWISE, but margin-region cells inside the
+    validity cone combine with x_{k-1} values the neighbor shard owns,
+    so the carry is exchanged like x), ``carry_out`` writes BOTH final
+    iterates for the next chained segment."""
+    flags_ref = refs[0]
+    if carry_in:
+        x_hbm, xm_hbm, rhs_hbm = refs[1:4]
+        idx = 4
+    else:
+        x_hbm, rhs_hbm = refs[1:3]
+        xm_hbm = None
+        idx = 3
+    out_ref = refs[idx]
+    idx += 1
+    outp_ref = refs[idx] if carry_out else None
+    idx += 1 if carry_out else 0
+    if carry_in:
+        xs2, xm2, rhs2, buf_b, buf_c, sems = refs[idx:]
+    else:
+        xs2, rhs2, buf_b, buf_c, sems = refs[idx:]
+        xm2 = None
     gi = pl.program_id(0)
     slot = jax.lax.rem(gi, 2)
 
@@ -120,6 +169,13 @@ def _jacobi3_slab_kernel(
                 pltpu.make_async_copy(
                     x_hbm.at[pl.ds(start_, wz)], xs2.at[slot_],
                     sems.at[slot_, 1],
+                )
+            )
+        if carry_in:
+            cps.append(
+                pltpu.make_async_copy(
+                    xm_hbm.at[pl.ds(start_, wz)], xm2.at[slot_],
+                    sems.at[slot_, 2],
                 )
             )
         return cps
@@ -144,6 +200,8 @@ def _jacobi3_slab_kernel(
         buf_c[:] = jnp.zeros((wz, side, side), dt)
     else:
         buf_c[:] = xs2[slot]
+    if carry_in:
+        buf_b[:] = xm2[slot]  # x_{k-1}: dst of the first chained sweep
     rhs_buf = rhs2.at[slot]
     if fast:
         rhs_buf[:] = rhs_buf[:] * jnp.asarray(1.0 / beta, dt)
@@ -176,7 +234,7 @@ def _jacobi3_slab_kernel(
     z1f = (rows_plane == wp_top + 1) & is_top
     zm2f = (rows_plane == wp_bot - 1) & is_bot
 
-    def sweep(src, dst, fold: bool):
+    def sweep(src, dst, fold: bool, w=None):
         s = src[:].reshape(L, side)
         sL = pltpu.roll(s, 1, 1)
         sR = pltpu.roll(s, side - 1, 1)
@@ -196,22 +254,39 @@ def _jacobi3_slab_kernel(
             d2 = rhs_buf[:].reshape(L, side) + ab_c * neigh
         else:
             d2 = (rhs_buf[:].reshape(L, side) + a_c * neigh) / b_c
+        if w is not None:  # Chebyshev three-term combine (dst = x_{k-1})
+            wc = jnp.asarray(w, dt)
+            d2 = wc * d2 + (jnp.asarray(1.0, dt) - wc) * dst[:].reshape(
+                L, side)
         dst[:] = d2.reshape(wz, side, side)
 
-    sweep(buf_c, buf_b, False)  # sweep 1: raw guess ghost (jnp semantics)
+    if ws is None:
+        sweep(buf_c, buf_b, False)  # sweep 1: raw guess ghost (jnp spec)
 
-    def double_sweep(_, carry):
-        sweep(buf_b, buf_c, True)
-        sweep(buf_c, buf_b, True)
-        return carry
+        def double_sweep(_, carry):
+            sweep(buf_b, buf_c, True)
+            sweep(buf_c, buf_b, True)
+            return carry
 
-    rem = sweeps - 1
-    jax.lax.fori_loop(0, rem // 2, double_sweep, 0)
-    if rem % 2:
-        sweep(buf_b, buf_c, True)
-        final = buf_c
+        rem = sweeps - 1
+        jax.lax.fori_loop(0, rem // 2, double_sweep, 0)
+        if rem % 2:
+            sweep(buf_b, buf_c, True)
+            final = buf_c
+        else:
+            final = buf_b
+        prev = None
     else:
-        final = buf_b
+        # Static unroll (<= K sweeps/segment): per-sweep w's differ.  The
+        # global first sweep keeps the unfolded raw-guess ghost quirk;
+        # chained segments re-enter folded (the previous segment's
+        # epilogue derived faces = what a folded read computes).
+        cur, oth = buf_c, buf_b
+        for i, w in enumerate(ws):
+            sweep(cur, oth, carry_in or i > 0, w)
+            cur, oth = oth, cur
+        final = cur
+        prev = oth
 
     # Epilogue: derive ghost faces once (y/x everywhere; z on wall shards
     # at their dynamic window planes).
@@ -231,6 +306,12 @@ def _jacobi3_slab_kernel(
         final[pl.ds(wp_bot, 1)] = sz * final[pl.ds(wp_bot - 1, 1)]
 
     out_ref[:] = final[H : H + tz]
+    if carry_out:
+        # x_{k+s-1} for the next chained segment's combine.  No face
+        # derivation: the combine reads it POINTWISE and its validity at
+        # the output planes exceeds final's by one sweep (cf. the
+        # unsharded chain kernel, pallas_ops_3d._jacobi3_kernel).
+        outp_ref[:] = prev[H : H + tz]
 
 
 @functools.partial(
@@ -302,6 +383,90 @@ def fused_jacobi3_slab(
             )
         ),
     )(flags, x_ext, rhs_ext)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("b", "alpha", "beta", "ws", "mz", "H", "zero_init",
+                     "fast", "carry_in", "carry_out"),
+)
+def fused_cheby3_slab(
+    b: int,
+    x_ext: jnp.ndarray,
+    xm_ext: jnp.ndarray | None,
+    rhs_ext: jnp.ndarray,
+    flags: jnp.ndarray,
+    *,
+    mz: int,
+    H: int,
+    alpha: float,
+    beta: float,
+    ws: tuple,
+    zero_init: bool = False,
+    fast: bool = False,
+    carry_in: bool = False,
+    carry_out: bool = False,
+):
+    """One Chebyshev chain segment on plane-halo-extended slabs:
+    ``len(ws)`` sweeps with static w factors (``ws[0] is None`` = the
+    global first plain sweep).  Returns the (mz, side, side) final slab,
+    plus the previous iterate when ``carry_out`` (both feed the next
+    segment; the caller re-exchanges both halos).  Requires
+    ``H >= len(ws) + 1``."""
+    me, side, _ = rhs_ext.shape
+    sweeps = len(ws)
+    assert me == mz + 2 * H, (me, mz, H)
+    assert H >= sweeps + 1 or _interpret()
+    assert carry_in == (xm_ext is not None)
+    nin = 3 if carry_in else 2
+    nout = 2 if carry_out else 1
+    tz = None
+    for cand in (16, 8, 4, 2, 1):
+        if (mz % cand == 0
+                and _jacobi3_need_hw(cand, cand + 2 * H, sweeps, side, nin,
+                                     nout) <= _VMEM3_CEIL):
+            tz = cand
+            break
+    if tz is None and _interpret():
+        tz = mz
+    assert tz is not None, \
+        f"no viable 3-D cheby slab strip for mz={mz}, side={side}"
+    wz = tz + 2 * H
+    nstrips = mz // tz
+    kernel = functools.partial(
+        _jacobi3_slab_kernel, b=b, alpha=float(alpha), beta=float(beta),
+        sweeps=sweeps, tz=tz, wz=wz, side=side, H=H, mz=mz,
+        zero_init=zero_init, nstrips=nstrips, fast=fast, ws=ws,
+        carry_in=carry_in, carry_out=carry_out,
+    )
+    slab = jax.ShapeDtypeStruct((mz, side, side), rhs_ext.dtype)
+    blk = pl.BlockSpec((tz, side, side), lambda gi: (gi, 0, 0),
+                       memory_space=pltpu.VMEM)
+    scratch = [pltpu.VMEM((2, wz, side, side), rhs_ext.dtype)
+               for _ in range(nin)]
+    scratch += [
+        pltpu.VMEM((wz, side, side), rhs_ext.dtype),
+        pltpu.VMEM((wz, side, side), rhs_ext.dtype),
+        pltpu.SemaphoreType.DMA((2, 3 if carry_in else 2)),
+    ]
+    operands = ((flags, x_ext, xm_ext, rhs_ext) if carry_in
+                else (flags, x_ext, rhs_ext))
+    return pl.pallas_call(
+        kernel,
+        grid=(nstrips,),
+        out_shape=(slab, slab) if carry_out else slab,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
+        + [pl.BlockSpec(memory_space=pl.ANY)] * nin,
+        out_specs=(blk, blk) if carry_out else blk,
+        scratch_shapes=scratch,
+        interpret=_interpret(),
+        compiler_params=None if _interpret() else pltpu.CompilerParams(
+            vmem_limit_bytes=min(
+                _VMEM3_CEIL,
+                _jacobi3_need_hw(tz, wz, sweeps, side, nin, nout),
+            )
+        ),
+    )(*operands)
 
 
 # ---------------------------------------------------------------------------

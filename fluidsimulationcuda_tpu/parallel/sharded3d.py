@@ -207,6 +207,73 @@ def _diffuse3_local(b, x_init, rhs, alpha, beta, iters, n, pz, fuse=8):
     return x
 
 
+def _cheby_diffuse3_local(b, x_init, rhs, alpha, beta, iters, rho, n, pz,
+                          fuse=8):
+    """Chebyshev three-term chain over the SAME chunked plane-halo
+    machinery as ``_diffuse3_local`` — the z-slab twin of
+    ``ops.chebyshev.cheby_diffuse3``.
+
+    Two facts make the chunking sound: (a) the combine
+    ``x_{k+1} = w·S(x_k) + (1-w)·x_{k-1}`` reads x_{k-1} POINTWISE, so it
+    adds no stencil depth — the K-sweep validity-cone argument is
+    unchanged; (b) x_{k-1} must still be halo-exchanged each chunk,
+    because margin-region cells inside the cone combine with x_{k-1}
+    values the neighbor shard owns (2 field exchanges per K sweeps
+    instead of 1 — the same tax the unsharded chain pays as its extra
+    DMA'd operand).  The w schedule is sliced per chunk from the global
+    ``cheby_omegas`` position, so chunk boundaries never reset it."""
+    from ..ops.chebyshev import cheby_omegas
+
+    dt = rhs.dtype
+    a = jnp.asarray(alpha, dt)
+    bt = jnp.asarray(beta, dt)
+    one = jnp.asarray(1.0, dt)
+    mz = rhs.shape[0]
+    K = max(1, min(fuse, iters, (mz - 2) // 2 if mz > 4 else 1))
+    ws_all = [None] + [float(w) for w in cheby_omegas(float(rho), iters)]
+
+    rhs_ext = _extend_z(rhs, pz, K)
+
+    def chunk(x, xm, ws):
+        ext = _extend_z(x, pz, K)
+        extm = _extend_z(xm, pz, K) if xm is not None else None
+        interior = _interior3_mask(ext, n, K)
+        gz = _gz0_ext(ext, K)
+
+        def sweep(cur):
+            neigh = (
+                ((cur[1:-1, 1:-1, :-2] + cur[1:-1, 1:-1, 2:])
+                 + (cur[1:-1, :-2, 1:-1] + cur[1:-1, 2:, 1:-1]))
+                + (cur[:-2, 1:-1, 1:-1] + cur[2:, 1:-1, 1:-1])
+            )
+            return jnp.pad(
+                (rhs_ext[1:-1, 1:-1, 1:-1] + a * neigh) / bt, 1
+            )
+
+        for w in ws:  # static unroll: per-sweep w's differ
+            new = sweep(ext)
+            if w is not None:
+                wc = jnp.asarray(w, dt)
+                new = wc * new + (one - wc) * extm
+            new = jnp.where(interior, new, ext)
+            new = _apply_bnd3_coords(b, new, n, gz)
+            extm, ext = ext, new
+        return ext[K:-K], extm[K:-K]
+
+    x, xm = x_init, None
+    done = 0
+    while done < iters:
+        s = min(K, iters - done)
+        x, xm = chunk(x, xm, tuple(ws_all[done:done + s]))
+        done += s
+    return x
+
+
+def _cheby_pressure3_local(div, iters, rho, n, pz):
+    return _cheby_diffuse3_local(0, jnp.zeros_like(div), div, 1.0, 6.0,
+                                 iters, rho, n, pz)
+
+
 def _advect3_local_exact(b, d0, u, v, w, dtim, n, pz):
     """Reference-semantics trilinear advection: all-gather the advected
     volume over z (O(volume) collective traffic — correctness mode)."""
@@ -356,9 +423,13 @@ def _gradient3_local(u, v, w, p, n, pz):
     )
 
 
-def _project3_local(u, v, w, n, iters, pz):
+def _project3_local(u, v, w, n, iters, pz, cheby_rho=None):
     div = _divergence3_local(u, v, w, n, pz)
-    p = _diffuse3_local(0, jnp.zeros_like(div), div, 1.0, 6.0, iters, n, pz)
+    if cheby_rho is not None:
+        p = _cheby_pressure3_local(div, iters, cheby_rho, n, pz)
+    else:
+        p = _diffuse3_local(0, jnp.zeros_like(div), div, 1.0, 6.0, iters,
+                            n, pz)
     return _gradient3_local(u, v, w, p, n, pz)
 
 
@@ -385,27 +456,48 @@ def _step3_local(cfg: SimConfig, pz: int, advect_mode: str, audited: bool,
         def _advect(b, d0, uu, vv, ww):
             return _advect3_local_exact(b, d0, uu, vv, ww, dtim, n, pz)
 
+    # Solver dispatch mirrors models.stable_fluids_3d (vel_step3/
+    # dens_step3): chebyshev pressure/diffusion are the 3-D compensated
+    # perf mode's solves, here in z-slab local form.
+    cheby_p = cfg.cheby_rho if cfg.pressure_solver == "chebyshev" else None
+    it_p = cfg.press_cheby_iters if cheby_p is not None else it
+
+    def vel_diffuse(b, guess, rhs, alpha, beta):
+        if cfg.diffusion_solver == "chebyshev":
+            return _cheby_diffuse3_local(b, guess, rhs, alpha, beta,
+                                         cfg.cheby_iters, cfg.cheby_rho,
+                                         n, pz)
+        return _diffuse3_local(b, guess, rhs, alpha, beta, it, n, pz)
+
     u = state.u + dt_c * src.u
     v = state.v + dt_c * src.v
     w = state.w + dt_c * src.w
     alpha = cfg.diffusion_alpha_visc
     beta = 1.0 + 6.0 * alpha
-    u = _diffuse3_local(1, src.u, u, alpha, beta, it, n, pz)
-    v = _diffuse3_local(2, src.v, v, alpha, beta, it, n, pz)
-    w = _diffuse3_local(3, src.w, w, alpha, beta, it, n, pz)
-    u, v, w = _project3_local(u, v, w, n, it, pz)
+    u = vel_diffuse(1, src.u, u, alpha, beta)
+    v = vel_diffuse(2, src.v, v, alpha, beta)
+    w = vel_diffuse(3, src.w, w, alpha, beta)
+    u, v, w = _project3_local(u, v, w, n, it_p, pz, cheby_rho=cheby_p)
     d_vel = _disp3_global(u, v, w, dtim * n) if audited else None
     u0, v0, w0 = u, v, w
     u = _advect(1, u0, u0, v0, w0)
     v = _advect(2, v0, u0, v0, w0)
     w = _advect(3, w0, u0, v0, w0)
-    u, v, w = _project3_local(u, v, w, n, it, pz)
+    u, v, w = _project3_local(u, v, w, n, it_p, pz, cheby_rho=cheby_p)
     d_dens = _disp3_global(u, v, w, dtim * n) if audited else None
 
     dens = state.dens + dt_c * src.dens
     alpha = cfg.diffusion_alpha_diff
     beta = 1.0 + 6.0 * alpha
-    dens = _diffuse3_local(0, src.dens, dens, alpha, beta, it, n, pz)
+    if cfg.diffusion_solver == "chebyshev":
+        dens = _cheby_diffuse3_local(0, src.dens, dens, alpha, beta,
+                                     cfg.cheby_iters, cfg.cheby_rho, n, pz)
+    elif cfg.diffusion_solver == "chebyshev-dens":
+        dens = _cheby_diffuse3_local(0, src.dens, dens, alpha, beta,
+                                     cfg.cheby_dens_iters, cfg.cheby_rho,
+                                     n, pz)
+    else:
+        dens = _diffuse3_local(0, src.dens, dens, alpha, beta, it, n, pz)
     dens = _advect(0, dens, u, v, w)
     out = FluidState(dens=dens, u=u, v=v, w=w)
     if audited:
@@ -549,6 +641,46 @@ def _step3_local_pallas(cfg: SimConfig, pz: int, audited: bool,
             remaining -= s
         return x
 
+    # Chebyshev chain (the 3-D compensated perf mode's solves): segments
+    # of the slab chain kernel, both iterates re-exchanged per segment
+    # (see kernels.pallas_sharded_3d.fused_cheby3_slab).
+    cheby_p = cfg.cheby_rho if cfg.pressure_solver == "chebyshev" else None
+    if cheby_p is not None or cfg.diffusion_solver != "jacobi":
+        from ..ops.chebyshev import cheby_omegas
+
+        _, Kc = p3.cheby3_slab_plan(mz, side, min(fuse, 20))
+        if Kc is None:  # interpret mode on tiny slabs
+            Kc = max(1, min(20, mz - 1))
+        Hc = Kc + 1
+
+    def diffuse_cheby(b, x_init, rhs, alpha, beta, iters, rho,
+                      zero_init=False):
+        ws_all = [None] + [float(w) for w in
+                           cheby_omegas(float(rho), iters)]
+        rhs_ext = _extend_z(rhs, pz, Hc)
+        x, xm = x_init, None
+        done = 0
+        first = True
+        while done < iters:
+            s = min(Kc, iters - done)
+            ws = tuple(ws_all[done:done + s])
+            last = done + s >= iters
+            zi = zero_init and first
+            x_ext = rhs_ext if zi else _extend_z(x, pz, Hc)
+            xm_ext = _extend_z(xm, pz, Hc) if xm is not None else None
+            res = p3.fused_cheby3_slab(
+                b, x_ext, xm_ext, rhs_ext, flags, mz=mz, H=Hc,
+                alpha=float(alpha), beta=float(beta), ws=ws, zero_init=zi,
+                fast=fast, carry_in=xm is not None, carry_out=not last,
+            )
+            if last:
+                x = res
+            else:
+                x, xm = res
+            done += s
+            first = False
+        return x
+
     def advect(b, d0, uu, vv, ww, d0_complete=False):
         if not d0_complete:
             # Gather sources include ghost edges/corners; slab-kernel
@@ -563,8 +695,18 @@ def _step3_local_pallas(cfg: SimConfig, pz: int, audited: bool,
 
     def project(u, v, w):
         div = _divergence3_fast(u, v, w, n, pz, is_top, is_bot)
-        p = diffuse(0, None, div, 1.0, 6.0, it, zero_init=True)
+        if cheby_p is not None:
+            p = diffuse_cheby(0, None, div, 1.0, 6.0, cfg.press_cheby_iters,
+                              cheby_p, zero_init=True)
+        else:
+            p = diffuse(0, None, div, 1.0, 6.0, it, zero_init=True)
         return _gradient3_fast(u, v, w, p, n, pz, is_top, is_bot)
+
+    def vel_diffuse(b, guess, rhs, alpha, beta):
+        if cfg.diffusion_solver == "chebyshev":
+            return diffuse_cheby(b, guess, rhs, alpha, beta,
+                                 cfg.cheby_iters, cfg.cheby_rho)
+        return diffuse(b, guess, rhs, alpha, beta, it)
 
     dt_c = jnp.asarray(dtim, state.u.dtype)
     u = state.u + dt_c * src.u
@@ -572,9 +714,9 @@ def _step3_local_pallas(cfg: SimConfig, pz: int, audited: bool,
     w = state.w + dt_c * src.w
     alpha = cfg.diffusion_alpha_visc
     beta = 1.0 + 6.0 * alpha
-    u = diffuse(1, src.u, u, alpha, beta, it)
-    v = diffuse(2, src.v, v, alpha, beta, it)
-    w = diffuse(3, src.w, w, alpha, beta, it)
+    u = vel_diffuse(1, src.u, u, alpha, beta)
+    v = vel_diffuse(2, src.v, v, alpha, beta)
+    w = vel_diffuse(3, src.w, w, alpha, beta)
     u, v, w = project(u, v, w)
     d_vel = _disp3_global(u, v, w, dtim * n) if audited else None
     u0, v0, w0 = u, v, w
@@ -587,7 +729,14 @@ def _step3_local_pallas(cfg: SimConfig, pz: int, audited: bool,
     dens = state.dens + dt_c * src.dens
     alpha = cfg.diffusion_alpha_diff
     beta = 1.0 + 6.0 * alpha
-    dens = diffuse(0, src.dens, dens, alpha, beta, it)
+    if cfg.diffusion_solver == "chebyshev":
+        dens = diffuse_cheby(0, src.dens, dens, alpha, beta,
+                             cfg.cheby_iters, cfg.cheby_rho)
+    elif cfg.diffusion_solver == "chebyshev-dens":
+        dens = diffuse_cheby(0, src.dens, dens, alpha, beta,
+                             cfg.cheby_dens_iters, cfg.cheby_rho)
+    else:
+        dens = diffuse(0, src.dens, dens, alpha, beta, it)
     dens = advect(0, dens, u, v, w)
     out = FluidState(dens=dens, u=u, v=v, w=w)
     if audited:
@@ -620,18 +769,10 @@ def make_sharded_step_fn_3d(
     """
     if cfg.ndim != 3:
         raise ValueError("make_sharded_step_fn_3d requires cfg.ndim == 3")
-    if cfg.pressure_solver != "jacobi":
+    if cfg.pressure_solver not in ("jacobi", "chebyshev"):
         raise ValueError(
-            "sharded 3-D supports pressure_solver='jacobi' only (the "
-            "unsharded 3-D chebyshev chain carries x_{k-1} across calls — "
-            "a cross-call carry the z-slab halo exchange does not "
-            "implement; mg/cg are 2-D solvers)"
-        )
-    if cfg.diffusion_solver != "jacobi":
-        # Silently running parity Jacobi would misreport the numerics.
-        raise ValueError(
-            "sharded 3-D supports diffusion_solver='jacobi' only "
-            "(chebyshev-dens needs the unsharded 3-D cheby chain)"
+            "sharded 3-D supports pressure_solver='jacobi' or 'chebyshev' "
+            "(mg/cg are 2-D solvers)"
         )
     if advect_mode not in ("auto", "exact", "windowed"):
         raise ValueError(f"unknown advect_mode {advect_mode!r}")
