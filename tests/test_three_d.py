@@ -179,14 +179,21 @@ def test_chebyshev_dens_3d_velocity_bit_parity():
     assert np.abs(dens - np.asarray(s_j.dens)).max() > 0
 
 
-def test_sharded_3d_rejects_chebyshev_dens():
+def test_sharded_3d_solver_support():
+    """Sharded 3-D accepts every 3-D solver (jacobi/chebyshev variants)
+    and still rejects the 2-D-only mg/cg pressure solvers."""
     from fluidsimulationcuda_tpu.parallel.mesh import make_mesh
     from fluidsimulationcuda_tpu.parallel.sharded3d import (
         make_sharded_step_fn_3d,
     )
 
+    mesh = make_mesh(jax.devices()[:2], (2, 1))
     cfg = SimConfig(n=14, ndim=3, backend="reference",
                     diffusion_solver="chebyshev-dens")
-    mesh = make_mesh(jax.devices()[:2], (2, 1))
-    with pytest.raises(ValueError, match="diffusion_solver='jacobi'"):
-        make_sharded_step_fn_3d(cfg, mesh)
+    make_sharded_step_fn_3d(cfg, mesh)  # accepted since round 3
+    cfg = cfg.replace(diffusion_solver="chebyshev",
+                      pressure_solver="chebyshev")
+    make_sharded_step_fn_3d(cfg, mesh)
+    with pytest.raises(ValueError, match="2-D solvers"):
+        make_sharded_step_fn_3d(
+            cfg.replace(pressure_solver="multigrid"), mesh)
