@@ -128,9 +128,12 @@ def test_batched_pallas_kernels_match_vmapped_reference():
         pallas_ops.INTERPRET = prev_interpret
 
 
-def test_batched_pallas_chebyshev_matches_vmapped_reference():
-    """Chebyshev pressure stays on the batch-polymorphic pallas path
-    (``_use_batched_pallas`` admits it) and matches the vmapped jnp spec."""
+@pytest.mark.parametrize("dsolver", ["jacobi", "chebyshev"])
+def test_batched_pallas_chebyshev_matches_vmapped_reference(dsolver):
+    """Chebyshev solves stay on the batch-polymorphic pallas path
+    (``_use_batched_pallas`` admits them) and match the vmapped jnp spec —
+    dsolver='chebyshev' is the full compensated datagen perf mode
+    (``dev/bench_r3u_datagen_perf.py``)."""
     from fluidsimulationcuda_tpu.kernels import pallas_ops
     from fluidsimulationcuda_tpu.models.batched import _use_batched_pallas
     from fluidsimulationcuda_tpu.models.stable_fluids_2d import step
@@ -141,6 +144,7 @@ def test_batched_pallas_chebyshev_matches_vmapped_reference():
     try:
         cfg_p = SimConfig(n=30, jacobi_iters=6, backend="pallas",
                           max_courant=2, pressure_solver="chebyshev",
+                          diffusion_solver=dsolver,
                           cheby_iters=5, cheby_rho=0.95)
         assert _use_batched_pallas(cfg_p)
         cfg_r = cfg_p.replace(backend="reference")
