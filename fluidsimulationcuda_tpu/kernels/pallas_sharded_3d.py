@@ -53,14 +53,16 @@ def _interpret() -> bool:
 # ---------------------------------------------------------------------------
 
 
-def jacobi3_slab_plan(mz: int, side: int, max_fused: int):
+def jacobi3_slab_plan(mz: int, side: int, max_fused: int,
+                      nin: int = 2, nout: int = 1):
     """(tz, K): strip height (planes) and sweeps per exchange, minimizing
     the calibrated single-chip cost model (compute redundancy wz/tz plus
     0.62× the DMA term — see ``_jacobi3_plan``; the slab kernel always
-    streams both windows, nin=2) over plans whose modeled VMEM need fits
-    the verified ceiling.  The slab halo depth is H = K + 1 planes,
-    bounded by the slab itself (single-hop exchange).  Returns
-    (None, None) if no viable plan."""
+    streams both windows) over plans whose modeled VMEM need fits the
+    verified ceiling.  ``nin``/``nout`` are the streamed-operand counts
+    (Jacobi 2/1; the Chebyshev chain 3/2, see ``cheby3_slab_plan``).
+    The slab halo depth is H = K + 1 planes, bounded by the slab itself
+    (single-hop exchange).  Returns (None, None) if no viable plan."""
     best = None
     best_cost = None
     for tz in (16, 8, 4, 2, 1):
@@ -70,9 +72,10 @@ def jacobi3_slab_plan(mz: int, side: int, max_fused: int):
             if K + 1 > mz:
                 continue
             wz = tz + 2 * (K + 1)
-            if _jacobi3_need(tz, K, side, 2) > _VMEM3_CEIL:
+            if _jacobi3_need(tz, K, side, nin, nout) > _VMEM3_CEIL:
                 continue
-            cost = wz / tz + _JAC3_DMA_WEIGHT * (2 * wz + tz) / (tz * K)
+            cost = (wz / tz
+                    + _JAC3_DMA_WEIGHT * (nin * wz + nout * tz) / (tz * K))
             if best is None or cost < best_cost:
                 best, best_cost = (tz, K), cost
     return best if best is not None else (None, None)
@@ -80,24 +83,9 @@ def jacobi3_slab_plan(mz: int, side: int, max_fused: int):
 
 def cheby3_slab_plan(mz: int, side: int, max_fused: int):
     """(tz, K) for the Chebyshev CHAIN slab segments (nin=3: x, x_{k-1},
-    rhs streamed; nout=2: both final iterates written) — same calibrated
-    cost model as ``jacobi3_slab_plan`` with the chain's operand counts,
-    the slab twin of ``pallas_ops_3d._jacobi3_plan(nin=3, nout=2)``."""
-    best = None
-    best_cost = None
-    for tz in (16, 8, 4, 2, 1):
-        if mz % tz:
-            continue
-        for K in range(max_fused, 0, -1):
-            if K + 1 > mz:
-                continue
-            wz = tz + 2 * (K + 1)
-            if _jacobi3_need(tz, K, side, 3, 2) > _VMEM3_CEIL:
-                continue
-            cost = wz / tz + _JAC3_DMA_WEIGHT * (3 * wz + 2 * tz) / (tz * K)
-            if best is None or cost < best_cost:
-                best, best_cost = (tz, K), cost
-    return best if best is not None else (None, None)
+    rhs streamed; nout=2: both final iterates written) — the slab twin
+    of ``pallas_ops_3d._jacobi3_plan(nin=3, nout=2)``."""
+    return jacobi3_slab_plan(mz, side, max_fused, nin=3, nout=2)
 
 
 def slab3_supported(mz: int, side: int, cmax: int) -> bool:

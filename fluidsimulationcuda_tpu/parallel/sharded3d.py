@@ -274,6 +274,17 @@ def _cheby_pressure3_local(div, iters, rho, n, pz):
                                  iters, rho, n, pz)
 
 
+def _dens_cheby_iters(cfg: SimConfig):
+    """Density-diffusion solver selection shared by both step-locals
+    (mirrors ``models.stable_fluids_3d`` dens dispatch): the Chebyshev
+    iteration count, or None for the parity Jacobi solve."""
+    if cfg.diffusion_solver == "chebyshev":
+        return cfg.cheby_iters
+    if cfg.diffusion_solver == "chebyshev-dens":
+        return cfg.cheby_dens_iters
+    return None
+
+
 def _advect3_local_exact(b, d0, u, v, w, dtim, n, pz):
     """Reference-semantics trilinear advection: all-gather the advected
     volume over z (O(volume) collective traffic — correctness mode)."""
@@ -489,13 +500,10 @@ def _step3_local(cfg: SimConfig, pz: int, advect_mode: str, audited: bool,
     dens = state.dens + dt_c * src.dens
     alpha = cfg.diffusion_alpha_diff
     beta = 1.0 + 6.0 * alpha
-    if cfg.diffusion_solver == "chebyshev":
+    kd = _dens_cheby_iters(cfg)
+    if kd is not None:
         dens = _cheby_diffuse3_local(0, src.dens, dens, alpha, beta,
-                                     cfg.cheby_iters, cfg.cheby_rho, n, pz)
-    elif cfg.diffusion_solver == "chebyshev-dens":
-        dens = _cheby_diffuse3_local(0, src.dens, dens, alpha, beta,
-                                     cfg.cheby_dens_iters, cfg.cheby_rho,
-                                     n, pz)
+                                     kd, cfg.cheby_rho, n, pz)
     else:
         dens = _diffuse3_local(0, src.dens, dens, alpha, beta, it, n, pz)
     dens = _advect(0, dens, u, v, w)
@@ -729,12 +737,10 @@ def _step3_local_pallas(cfg: SimConfig, pz: int, audited: bool,
     dens = state.dens + dt_c * src.dens
     alpha = cfg.diffusion_alpha_diff
     beta = 1.0 + 6.0 * alpha
-    if cfg.diffusion_solver == "chebyshev":
-        dens = diffuse_cheby(0, src.dens, dens, alpha, beta,
-                             cfg.cheby_iters, cfg.cheby_rho)
-    elif cfg.diffusion_solver == "chebyshev-dens":
-        dens = diffuse_cheby(0, src.dens, dens, alpha, beta,
-                             cfg.cheby_dens_iters, cfg.cheby_rho)
+    kd = _dens_cheby_iters(cfg)
+    if kd is not None:
+        dens = diffuse_cheby(0, src.dens, dens, alpha, beta, kd,
+                             cfg.cheby_rho)
     else:
         dens = diffuse(0, src.dens, dens, alpha, beta, it)
     dens = advect(0, dens, u, v, w)

@@ -166,13 +166,17 @@ def test_sharded_pallas_3d_matches_sharded_jnp():
 
 
 @pytest.mark.slow
-def test_sharded_3d_compensated_matches_unsharded():
+@pytest.mark.parametrize("dsolver", ["chebyshev", "chebyshev-dens"])
+def test_sharded_3d_compensated_matches_unsharded(dsolver):
     """3-D compensated mode (velocity+dens Chebyshev, compensated
     pressure) through the jnp z-slab path vs the unsharded model — the
     chunked chain (both iterates halo-exchanged per segment,
-    ``_cheby_diffuse3_local``) must land the same trajectory."""
-    cfg = _cfg(pressure_solver="chebyshev", diffusion_solver="chebyshev",
-               cheby_rho=0.85, cheby_iters=5, cheby_press_iters=6)
+    ``_cheby_diffuse3_local``) must land the same trajectory.  The
+    chebyshev-dens case pins cheby_dens_iters != cheby_iters so an
+    iteration-count mix-up in the sharded dens dispatch breaks parity."""
+    cfg = _cfg(pressure_solver="chebyshev", diffusion_solver=dsolver,
+               cheby_rho=0.85, cheby_iters=5, cheby_press_iters=6,
+               cheby_dens_iters=4)
     ref, sh, _ = _run_pair(cfg, _mesh(8), steps=2, advect_mode="windowed")
     for f in ("dens", "u", "v", "w"):
         np.testing.assert_allclose(
