@@ -181,7 +181,8 @@ def audit_divergence(cfg: SimConfig, state, steps: int, drive=None) -> float:
     return worst
 
 
-def audit_diffusion_residual(cfg: SimConfig, state, steps: int) -> tuple:
+def audit_diffusion_residual(cfg: SimConfig, state, steps: int,
+                             drive=None) -> tuple:
     """Worst relative sup-norm residual ratio (perf-solve / jacobi-iters
     solve) across the trajectory's velocity-diffusion solves — the honest
     bar for replacing the diffusion solver: <= 1 means the perf solve
@@ -192,7 +193,7 @@ def audit_diffusion_residual(cfg: SimConfig, state, steps: int) -> tuple:
     alpha = cfg.diffusion_alpha_visc
     beta = 1.0 + 4.0 * alpha
     step_fn = make_step_fn(dataclasses.replace(cfg))
-    drive = zero_sources(cfg)
+    drive = zero_sources(cfg) if drive is None else drive
 
     @jax.jit
     def ratio(u):
@@ -270,9 +271,14 @@ def audit_dens_residual(cfg: SimConfig, state, steps: int,
 
 
 def perf_mode_line(cfg: SimConfig, steps: int, headline_mcells: float,
-                   solver: str = "chebyshev") -> dict:
+                   solver: str = "chebyshev", forcing: float = 0.0) -> dict:
     """Measure the performance-mode step at the headline grid, validated
     against the parity Jacobi-20 numerics on the same trajectory.
+
+    ``forcing``: validate AND time on the continuous-forcing trajectory
+    (the reference's random sources scaled by ``forcing`` fire every
+    step) — the divergence and velocity-residual bars then run under the
+    sustained multi-cell displacement the forcing headline reports.
 
     ``solver="compensated"`` (default): ALL solves Chebyshev-10 at
     rho=0.9 with the pressure solve raised to 14 sweeps — the extra
@@ -353,19 +359,24 @@ def perf_mode_line(cfg: SimConfig, steps: int, headline_mcells: float,
         label = (f"chebyshev-{perf_cfg.cheby_iters} pressure "
                  f"(rho={perf_cfg.cheby_rho}) + fast_math")
     state, _ = inject_exact(cfg)
+    fdrive = None
+    if forcing:
+        _, sources = reference_init(jax.random.key(0), cfg)
+        fdrive = jax.tree.map(lambda s: jnp.float32(forcing) * s, sources)
     val_steps = min(20, steps)
-    div_jac = audit_divergence(cfg, state, val_steps)
-    div_perf = audit_divergence(perf_cfg, state, val_steps)
+    div_jac = audit_divergence(cfg, state, val_steps, drive=fdrive)
+    div_perf = audit_divergence(perf_cfg, state, val_steps, drive=fdrive)
     rec = {
         "metric": f"perf-mode throughput @ {cfg.n + 2}^2 ({label}), "
-                  f"vs jacobi-{cfg.jacobi_iters} parity mode",
+                  f"vs jacobi-{cfg.jacobi_iters} parity mode"
+                  + (f", forcing x{forcing}" if forcing else ""),
         "max_abs_divergence": float(f"{div_perf:.3e}"),
         "jacobi_max_abs_divergence": float(f"{div_jac:.3e}"),
         "divergence_ok": bool(div_perf <= div_jac),
     }
     if solver in ("chebyshev-all", "compensated"):
         ratio, (rc, rj) = audit_diffusion_residual(perf_cfg, state,
-                                                   val_steps)
+                                                   val_steps, drive=fdrive)
         rec["diffusion_residual_ratio"] = round(ratio, 3)
         rec["diffusion_ok"] = bool(ratio <= 1.0)
         print(f"perf-mode diffusion residual: cheby {rc:.3e} vs "
@@ -393,7 +404,7 @@ def perf_mode_line(cfg: SimConfig, steps: int, headline_mcells: float,
               f"cheby-{cfg.cheby_dens_iters} {rc:.3e} vs "
               f"jacobi-{cfg.jacobi_iters} {rj:.3e} (worst ratio "
               f"{ratio:.3f})", file=sys.stderr)
-    sec = bench_step(perf_cfg, steps=steps)
+    sec = bench_step(perf_cfg, steps=steps, forcing=forcing)
     mcells = perf_cfg.num_cells / sec / 1e6
     disp = bench_step.last_max_displacement
     print(f"perf mode ({label}): {sec * 1e3:.3f} ms/step, "
@@ -681,16 +692,18 @@ def main() -> None:
         "advect_exact_regime": bool(exact),
         "injection_transient_cells": round(bench_step.last_transient, 2),
     }))
-    if not (args.no_perf_mode or args.forcing or args.backend == "reference"):
+    if not (args.no_perf_mode or args.backend == "reference"):
         # Second, clearly-labeled line: the non-parity performance mode
         # (opt-in solver the reference names as future work), validated by
         # divergence residual on the same trajectory.  Run at the SAME
         # audited window the headline settled on (auto_cmax shrank
         # cfg.max_courant inside bench_step's probe; the perf trajectory
-        # is audited again below on its own run).
+        # is audited again below on its own run).  Under --forcing the
+        # bars and the timing both run on the forcing trajectory.
         cfg = dataclasses.replace(cfg, max_courant=cmax)
         print(json.dumps(perf_mode_line(cfg, args.steps, mcells,
-                                        solver=args.perf_solver)))
+                                        solver=args.perf_solver,
+                                        forcing=args.forcing)))
 
 
 if __name__ == "__main__":

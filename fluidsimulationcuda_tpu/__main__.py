@@ -64,9 +64,26 @@ def _add_common(p):
     p.add_argument("--cheby-rho", type=float, default=0.99,
                    help="Chebyshev interval parameter (free knob, not a "
                         "stability bound; ops/chebyshev.py)")
+    p.add_argument("--perf", action="store_true",
+                   help="apply the validated compensated perf-mode preset "
+                        "for --ndim (2-D: cheby-10 @ rho=0.9 + 14 pressure "
+                        "sweeps; 3-D: cheby-10 @ rho=0.85 + 12 pressure "
+                        "sweeps; + fast-math).  Operating points are "
+                        "measured per dimensionality/size — see "
+                        "docs/PERFORMANCE.md; explicit solver flags are "
+                        "overridden")
 
 
 def _cfg(args):
+    if getattr(args, "perf", False):
+        args.pressure_solver = "chebyshev"
+        args.diffusion_solver = "chebyshev"
+        args.fast_math = True
+        args.cheby_iters = 10
+        if getattr(args, "ndim", 2) == 3:
+            args.cheby_rho, args.cheby_press_iters = 0.85, 12
+        else:
+            args.cheby_rho, args.cheby_press_iters = 0.9, 14
     return SimConfig(n=args.n, jacobi_iters=args.iters, backend=args.backend,
                      max_courant=args.cmax, dt=args.dt, visc=args.visc,
                      diff=args.diff, pressure_solver=args.pressure_solver,
