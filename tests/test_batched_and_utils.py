@@ -239,3 +239,32 @@ def test_select_cmax_batched_picks_small_exact_window():
     np.testing.assert_allclose(
         np.asarray(f_w.dens), np.asarray(f_e.dens), rtol=1e-5, atol=1e-6
     )
+
+
+def test_cli_perf_preset_pins_validated_operating_points():
+    """--perf must apply exactly the measured compensated operating
+    points (2-D: rho=0.9/k_d=10/k_p=14; 3-D: rho=0.85/k_d=10/k_p=12 —
+    docs/PERFORMANCE.md), so preset drift from the validated values is a
+    test failure, not a silent numerics change."""
+    from types import SimpleNamespace
+
+    from fluidsimulationcuda_tpu import __main__ as cli
+
+    def ns(ndim):
+        return SimpleNamespace(
+            n=126, iters=20, backend="reference", cmax=2, dt=0.016,
+            visc=0.0025, diff=0.1, ndim=ndim, pressure_solver="jacobi",
+            diffusion_solver="jacobi", fast_math=False, cheby_iters=8,
+            cheby_press_iters=0, cheby_rho=0.99, perf=True)
+
+    c2 = cli._cfg(ns(2))
+    assert c2.pressure_solver == c2.diffusion_solver == "chebyshev"
+    assert c2.fast_math and c2.cheby_iters == 10
+    assert (c2.cheby_rho, c2.press_cheby_iters) == (0.9, 14)
+    c3 = cli._cfg(ns(3))
+    assert (c3.cheby_rho, c3.press_cheby_iters) == (0.85, 12)
+    # without --perf the explicit flags pass through untouched
+    plain = ns(2)
+    plain.perf = False
+    c0 = cli._cfg(plain)
+    assert c0.pressure_solver == "jacobi" and not c0.fast_math
