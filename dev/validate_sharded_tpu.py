@@ -93,6 +93,34 @@ def main():
     print(f"1x1 shard_map pallas chebyshev: {t_shc*1e3:.2f} ms/step "
           f"({cells/t_shc/1e6:.0f} Mcell/s)")
 
+    # The SHIPPED default perf mode (compensated diffusion swap: all
+    # solves cheby-10 @ rho=0.9, pressure 14 sweeps) through the slab
+    # kernels — the sharded twin of bench.py's default second JSON line.
+    cfg_k = cfg.replace(pressure_solver="chebyshev",
+                        diffusion_solver="chebyshev", cheby_iters=10,
+                        cheby_press_iters=14, cheby_rho=0.9,
+                        fast_math=True)
+    base_k = make_step_fn(cfg_k)
+    out_bk = base_k(state, sources)
+    jax.block_until_ready(out_bk)
+    sh_k = make_sharded_step_fn(cfg_k, mesh, advect_mode="windowed",
+                                shard_backend="pallas")
+    out_sk = sh_k(sst, ssrc)
+    jax.block_until_ready(out_sk)
+    for name in ("dens", "u", "v"):
+        a = np.asarray(getattr(out_bk, name))
+        b = np.asarray(getattr(out_sk, name))
+        d = np.abs(a - b).max()
+        print(f"compensated parity {name}: max|d| = {d:.3e} "
+              f"(finite={np.isfinite(b).all()})")
+    t_bk = wallclock(base_k, state, sources, reps=3, chain=8)
+    t_sk = wallclock(sh_k, sst, ssrc, reps=3, chain=8)
+    print(f"unsharded compensated: {t_bk*1e3:.2f} ms/step "
+          f"({cells/t_bk/1e6:.0f} Mcell/s)")
+    print(f"1x1 shard_map pallas compensated: {t_sk*1e3:.2f} ms/step "
+          f"({cells/t_sk/1e6:.0f} Mcell/s, "
+          f"{t_bk/t_sk*100:.1f}% of unsharded)")
+
 
 if __name__ == "__main__":
     main()
