@@ -41,9 +41,19 @@ from fluidsimulationcuda_tpu import (  # noqa: E402
     SimConfig,
     make_step_fn,
     reference_init,
-    step_audited,
     zero_sources,
     zero_state,
+)
+from fluidsimulationcuda_tpu.utils.validate import (  # noqa: E402,F401
+    # Extracted to the package (round 4) so the CLI's ``run --perf
+    # --validate`` shares the exact bars this harness runs; re-exported
+    # here because the dev/ measurement scripts import them from bench.
+    audit_dens_residual,
+    audit_diffusion_residual,
+    audit_displacement,
+    audit_divergence,
+    inject_exact,
+    select_cmax,
 )
 
 BASELINE_MCELLS_PER_S = 56.8  # derived above
@@ -57,63 +67,6 @@ def _run(step_fn, state, drive, steps) -> float:
     # real device round-trip.
     _ = float(state.dens.ravel()[0])
     return time.perf_counter() - t0
-
-
-def inject_exact(cfg: SimConfig):
-    """Run the source-injection step through the exact-gather advect path.
-
-    The reference init's velocity impulse backtraces ~``0.01 * dt * n`` cells
-    on the very first step — ~21 cells at 2048², far outside any practical
-    gather window — before viscosity (``a = dt * visc * n²`` ≈ 167) flattens
-    the field to sub-cell displacements by step 3.  Running that ONE step
-    with the XLA-gather path (arbitrary displacement, ``ops/advect.py``)
-    keeps the whole benchmark trajectory reference-exact
-    (``FluidSequential.c:117-127`` clamp semantics) while the timed steady
-    state runs the windowed kernels.  Returns (post-injection state,
-    transient displacement in cells).
-    """
-    exact_cfg = dataclasses.replace(cfg, backend="reference",
-                                    advect_mode="exact")
-    state, sources = reference_init(jax.random.key(0), exact_cfg)
-    audited = jax.jit(functools.partial(step_audited, exact_cfg))
-    state, disp = audited(state, sources)
-    return state, float(disp)
-
-
-def audit_displacement(cfg: SimConfig, state, steps: int,
-                       drive=None) -> float:
-    """Max backtrace displacement (cells) actually seen by every advection
-    call site over ``steps`` steps from ``state`` (``drive``: per-step
-    sources; None = zero-source steady decay) — the audit that the
-    exact-regime claim rides on.  The trajectory is deterministic, so
-    replaying it untimed observes exactly what the timed loop will do."""
-    drive = zero_sources(cfg) if drive is None else drive
-    audited = jax.jit(functools.partial(step_audited, cfg))
-    disps = []
-    for _ in range(steps):
-        state, d = audited(state, drive)
-        disps.append(d)
-    return max(float(d) for d in disps)
-
-
-def select_cmax(cfg: SimConfig, state, steps: int, margin: float = 0.25,
-                drive=None):
-    """Auto-select the advection gather window: smallest ``cmax`` whose
-    exactness condition (displacement < cmax, proof in
-    ``ops/advect.py:advect_windowed``) holds with ``margin`` cells to
-    spare over the audited trajectory.  Audits with the candidate window,
-    growing it if the trajectory was clamped (a clamped replay is not the
-    true trajectory), then shrinks to the smallest sufficient window — the
-    shrunk window's trajectory is identical because no clamp fires under
-    either."""
-    c = cfg.max_courant
-    for _ in range(6):
-        dmax = audit_displacement(dataclasses.replace(cfg, max_courant=c),
-                                  state, steps, drive=drive)
-        if dmax < c - margin:
-            return max(1, int(math.floor(dmax + margin)) + 1), dmax
-        c = int(math.ceil(dmax + 2 * margin))
-    return c, dmax
 
 
 def bench_step(cfg: SimConfig, steps: int, warmup: int = 3,
@@ -159,117 +112,6 @@ def bench_step(cfg: SimConfig, steps: int, warmup: int = 3,
     return max((t_long - t_short) / (steps - short), 1e-9)
 
 
-def audit_divergence(cfg: SimConfig, state, steps: int, drive=None) -> float:
-    """Max post-projection |divergence| of the stored velocity over
-    ``steps`` steps from ``state`` — the solver-quality metric that
-    validates the performance-mode headline: the perf mode is
-    honest only if its incompressibility residual is no worse than the
-    parity Jacobi-20 solve's on the same trajectory."""
-    from fluidsimulationcuda_tpu.ops.project import divergence
-
-    drive = zero_sources(cfg) if drive is None else drive
-    step_fn = make_step_fn(cfg)
-
-    @jax.jit
-    def div_inf(s):
-        return jnp.max(jnp.abs(divergence(s.u, s.v, cfg.n)))
-
-    worst = 0.0
-    for _ in range(steps):
-        state = step_fn(state, drive)
-        worst = max(worst, float(div_inf(state)))
-    return worst
-
-
-def audit_diffusion_residual(cfg: SimConfig, state, steps: int,
-                             drive=None) -> tuple:
-    """Worst relative sup-norm residual ratio (perf-solve / jacobi-iters
-    solve) across the trajectory's velocity-diffusion solves — the honest
-    bar for replacing the diffusion solver: <= 1 means the perf solve
-    leaves every state at least as converged as the parity solve did."""
-    from fluidsimulationcuda_tpu.ops.chebyshev import cheby_diffuse
-    from fluidsimulationcuda_tpu.ops.diffuse import diffuse
-
-    alpha = cfg.diffusion_alpha_visc
-    beta = 1.0 + 4.0 * alpha
-    step_fn = make_step_fn(dataclasses.replace(cfg))
-    drive = zero_sources(cfg) if drive is None else drive
-
-    @jax.jit
-    def ratio(u):
-        zero = jnp.zeros_like(u)
-
-        def resid(x):
-            nb = ((x[1:-1, :-2] + x[1:-1, 2:]) + x[:-2, 1:-1]) + x[2:, 1:-1]
-            r = (jnp.float32(beta) * x[1:-1, 1:-1] - u[1:-1, 1:-1]
-                 - jnp.float32(alpha) * nb)
-            return jnp.max(jnp.abs(r))
-
-        rj = resid(diffuse(1, zero, u, alpha, beta, cfg.jacobi_iters))
-        rc = resid(cheby_diffuse(1, zero, u, alpha, beta, cfg.cheby_iters,
-                                 cfg.cheby_rho))
-        return rc, rj
-
-    worst = 0.0
-    worst_pair = (0.0, 0.0)
-    for _ in range(steps):
-        state = step_fn(state, drive)
-        rc, rj = ratio(state.u)
-        rc, rj = float(rc), float(rj)
-        if rj > 0 and rc / rj > worst:
-            worst, worst_pair = rc / rj, (rc, rj)
-    return worst, worst_pair
-
-
-def audit_dens_residual(cfg: SimConfig, state, steps: int,
-                        forcing: float = 0.05) -> tuple:
-    """Worst density-solve residual ratio (chebyshev-``cheby_dens_iters``
-    / jacobi-``jacobi_iters``) along a continuous-forcing twin of the
-    trajectory — the bar for the "chebyshev-dens" diffusion swap.  The
-    decay trajectory's density is extinct (~1e-34 sup) by the timed
-    steady state, so its ratio compares denormal noise; under forcing the
-    density solve does real work (``dev/bench_r3p_denscheby.py``: k=10 /
-    rho=0.99 measured 0.77x the jacobi-20 bar there)."""
-    from fluidsimulationcuda_tpu.ops.chebyshev import cheby_diffuse
-    from fluidsimulationcuda_tpu.ops.diffuse import diffuse
-
-    alpha = cfg.diffusion_alpha_diff
-    beta = 1.0 + 4.0 * alpha
-    # The forcing twin displaces ~1.5 cells — widen the window so the
-    # sampled density fields are unclamped.
-    cfg = dataclasses.replace(cfg, max_courant=max(cfg.max_courant, 2))
-    _, sources = reference_init(jax.random.key(0), cfg)
-    drive = jax.tree.map(lambda s: forcing * s, sources)
-    step_fn = make_step_fn(cfg)
-
-    @jax.jit
-    def ratio(dens, drive_dens):
-        # drive_dens is an ARGUMENT, not a closure capture: a captured
-        # array is baked into the program as a constant, and at 8192²
-        # that 268 MB constant overflows the remote-compile request.
-        rhs = dens + jnp.float32(cfg.dt) * drive_dens
-
-        def resid(x):
-            nb = ((x[1:-1, :-2] + x[1:-1, 2:]) + x[:-2, 1:-1]) + x[2:, 1:-1]
-            r = (jnp.float32(beta) * x[1:-1, 1:-1] - rhs[1:-1, 1:-1]
-                 - jnp.float32(alpha) * nb)
-            return jnp.max(jnp.abs(r))
-
-        rj = resid(diffuse(0, rhs, rhs, alpha, beta, cfg.jacobi_iters))
-        rc = resid(cheby_diffuse(0, rhs, rhs, alpha, beta,
-                                 cfg.cheby_dens_iters, cfg.cheby_rho))
-        return rc, rj
-
-    worst, worst_pair = 0.0, (0.0, 0.0)
-    for _ in range(steps):
-        state = step_fn(state, drive)
-        rc, rj = ratio(state.dens, drive.dens)
-        rc, rj = float(rc), float(rj)
-        if rj > 0 and rc / rj > worst:
-            worst, worst_pair = rc / rj, (rc, rj)
-    return worst, worst_pair
-
-
 def perf_mode_line(cfg: SimConfig, steps: int, headline_mcells: float,
                    solver: str = "chebyshev", forcing: float = 0.0) -> dict:
     """Measure the performance-mode step at the headline grid, validated
@@ -309,11 +151,12 @@ def perf_mode_line(cfg: SimConfig, steps: int, headline_mcells: float,
             fast_math=True)
         label = ("chebyshev-10 diffusion + chebyshev-14 pressure "
                  "(rho=0.9, compensated) + fast_math")
-        # A 2-D Chebyshev solve must fit ONE fused kernel call (the
-        # three-term recurrence's x_{k-1} lives in VMEM); large sides
-        # clamp the per-call sweep budget below 10 (8192² -> 7).  Probe
-        # by tracing and fall back to the density-only swap rather than
-        # crash the default line at the reference's headline size.
+        # Round 4: the cross-call Chebyshev carry chains kernel calls
+        # past the per-call VMEM clamp (8192² clamps a call to 7 sweeps;
+        # chebyshev-14 there runs as 7+7 with x_{k-1} carried across the
+        # junction), so the compensated mode now traces at every
+        # planner-supported side.  The probe-and-fall-back stays as the
+        # safety net for sides the strip planner declines outright.
         try:
             st0 = zero_state(perf_cfg)
             jax.eval_shape(make_step_fn(perf_cfg), st0,

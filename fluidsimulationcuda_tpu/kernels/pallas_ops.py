@@ -235,21 +235,32 @@ def _ceil8(x: int) -> int:
     return _ceil_t(x, 8)
 
 
-def _sweep_loop(sweep, buf_a, buf_b, sweeps: int, cheby_rho) -> None:
-    """Run ``sweeps`` stencil applications between the ping-pong buffers,
-    leaving the result in ``buf_a`` (which holds the initial guess on
-    entry).  ``sweep(src, dst, w)`` applies one Jacobi sweep: ``w is
-    None`` -> ``dst = S(src)``; else (a traced f32 scalar) -> the
-    Chebyshev three-term update ``dst = w*S(src) + (1-w)*dst`` — dst holds
-    x_{k-1} and is overwritten with x_{k+1} elementwise, so the recurrence
-    needs NO third buffer (S reads only src).  The w schedule
-    (``ops/chebyshev.py``: w_{k+1} = 1/(1 - rho²w_k/4), w_1 = 2) is
-    carried as a scalar through the fori loop, so sweeps stay a runtime
-    loop — unrolling to bake the w's in as constants would inflate Mosaic
-    sweep temporaries the way the 3-D probe measured (need ∝ unrolled
-    sweeps).  Per-sweep validity margins are identical to plain Jacobi:
-    each Chebyshev sweep reads a 1-ring of x_k plus x_{k-1} POINTWISE, and
-    the older iterate is valid wherever the newer one is."""
+def _sweep_loop(sweep, buf_a, buf_b, sweeps: int, cheby_rho,
+                w_start: float | None = None):
+    """Run ``sweeps`` stencil applications between the ping-pong buffers.
+    Returns ``(final, prev)`` — the refs holding the last iterate and the
+    one before it (callers must slice from ``final``; the pre-round-4 copy
+    that forced the result into ``buf_a`` is gone, it cost a full window
+    copy at even Chebyshev counts).  ``sweep(src, dst, w)`` applies one
+    Jacobi sweep: ``w is None`` -> ``dst = S(src)``; else (a traced f32
+    scalar) -> the Chebyshev three-term update ``dst = w*S(src) +
+    (1-w)*dst`` — dst holds x_{k-1} and is overwritten with x_{k+1}
+    elementwise, so the recurrence needs NO third buffer (S reads only
+    src).  The w schedule (``ops/chebyshev.py``: w_{k+1} =
+    1/(1 - rho²w_k/4), w_1 = 2) is carried as a scalar through the fori
+    loop, so sweeps stay a runtime loop — unrolling to bake the w's in as
+    constants would inflate Mosaic sweep temporaries the way the 3-D probe
+    measured (need ∝ unrolled sweeps).  Per-sweep validity margins are
+    identical to plain Jacobi: each Chebyshev sweep reads a 1-ring of x_k
+    plus x_{k-1} POINTWISE, and the older iterate is valid wherever the
+    newer one is.
+
+    ``w_start`` (static float) continues a recurrence that began in a
+    PREVIOUS kernel call (the 2-D cross-call carry, ported from
+    ``pallas_ops_3d._fused_jacobi3_cheby_call``): ``buf_a`` then holds
+    x_k (DMA'd), ``buf_b`` holds x_{k-1} (DMA'd), and every sweep —
+    including the first — is a three-term combine, with the w recurrence
+    resuming from ``w_start``."""
     if cheby_rho is None:
         def double(_, c):
             sweep(buf_a, buf_b, None)
@@ -259,35 +270,43 @@ def _sweep_loop(sweep, buf_a, buf_b, sweeps: int, cheby_rho) -> None:
         jax.lax.fori_loop(0, sweeps // 2, double, 0)
         if sweeps % 2:
             sweep(buf_a, buf_b, None)
-            buf_a[:] = buf_b[:]
-        return
+            return buf_b, buf_a
+        return buf_a, buf_b
 
     q = jnp.float32(cheby_rho * cheby_rho * 0.25)
     one = jnp.float32(1.0)
-    sweep(buf_a, buf_b, None)  # x_1 = S(x_0); x_0 stays in buf_a
-    rem = sweeps - 1
+    if w_start is None:
+        sweep(buf_a, buf_b, None)  # x_1 = S(x_0); x_0 stays in buf_a
+        cur, prev = buf_b, buf_a   # (x_1, x_0)
+        w1 = one / (one - q * jnp.float32(2.0))  # w_2
+        rem = sweeps - 1
+    else:
+        cur, prev = buf_a, buf_b   # (x_k, x_{k-1}) carried across calls
+        w1 = jnp.float32(w_start)
+        rem = sweeps
 
     def cheby_double(_, w):
-        w1 = one / (one - q * w)
-        sweep(buf_b, buf_a, w1)   # x_{k+1} over x_{k-1}
-        w2 = one / (one - q * w1)
-        sweep(buf_a, buf_b, w2)
-        return w2
+        sweep(cur, prev, w)        # x_{k+1} over x_{k-1}
+        w2 = one / (one - q * w)
+        sweep(prev, cur, w2)
+        return one / (one - q * w2)
 
-    w_last = jax.lax.fori_loop(0, rem // 2, cheby_double, jnp.float32(2.0))
+    w_last = jax.lax.fori_loop(0, rem // 2, cheby_double, w1)
     if rem % 2:
-        sweep(buf_b, buf_a, one / (one - q * w_last))
-    else:
-        buf_a[:] = buf_b[:]
+        sweep(cur, prev, w_last)
+        return prev, cur
+    return cur, prev
 
 
 def _jacobi_kernel(
-    x_hbm, rhs_hbm, out_ref, xs2, rhs2, buf_b, buf_c, sems,
-    *, b, alpha: float, beta: float, sweeps: int,
+    *refs,
+    b, alpha: float, beta: float, sweeps: int,
     tm: int, wr: int, side: int, zero_init: bool, margin: int,
     nstrips: int, total: int, st: int = 8, nb1: int = 0,
     src_dt: float | None = None, fast: bool = False,
     damp: float | None = None, cheby_rho: float | None = None,
+    carry_in: bool = False, carry_out: bool = False,
+    w_start: float | None = None,
 ):
     # Grid is (batch, strips): batched simulations are independent grids
     # stacked on a leading axis (unbatched arrays are reshaped to B=1).
@@ -296,6 +315,29 @@ def _jacobi_kernel(
     # xs2/rhs2 hold the HBM dtype (bf16 mode DMAs bf16); the work buffers
     # buf_b/buf_c are always f32 — Mosaic has no bf16 rotate, and sweeping
     # in f32 costs nothing extra on the f32-native VPU.
+    #
+    # Chebyshev cross-call carry (ported from the 3-D chain,
+    # ``pallas_ops_3d._fused_jacobi3_cheby_call``): ``carry_in`` DMAs the
+    # x_{k-1} window into the ping-pong partner so the three-term combine
+    # continues across HBM round-trips (w recurrence resumed at the static
+    # ``w_start``); ``carry_out`` writes BOTH final iterates so the next
+    # chained call can keep the recurrence.
+    if carry_in:
+        x_hbm, xm_hbm, rhs_hbm = refs[:3]
+        idx = 3
+    else:
+        x_hbm, rhs_hbm = refs[:2]
+        xm_hbm = None
+        idx = 2
+    out_ref = refs[idx]
+    idx += 1
+    outp_ref = refs[idx] if carry_out else None
+    idx += 1 if carry_out else 0
+    if carry_in:
+        xs2, xm2, rhs2, buf_b, buf_c, sems = refs[idx:]
+    else:
+        xs2, rhs2, buf_b, buf_c, sems = refs[idx:]
+        xm2 = None
     bi = pl.program_id(0)
     gi = pl.program_id(1)
     lin = bi * nstrips + gi
@@ -317,6 +359,13 @@ def _jacobi_kernel(
                 pltpu.make_async_copy(
                     x_hbm.at[bi_, pl.ds(start_, wr), :], xs2.at[slot_],
                     sems.at[slot_, 1],
+                )
+            )
+        if carry_in:
+            cps.append(
+                pltpu.make_async_copy(
+                    xm_hbm.at[bi_, pl.ds(start_, wr), :], xm2.at[slot_],
+                    sems.at[slot_, 2],
                 )
             )
         return cps
@@ -356,6 +405,11 @@ def _jacobi_kernel(
         buf_c[:] = jnp.zeros((wr, side), dt)
     else:
         buf_c[:] = xs2[slot].astype(dt)
+    if carry_in:
+        # x_{k-1}: dst of the first chained combine (the _sweep_loop
+        # w_start invariant — every sweep including the first is a
+        # three-term update over the carried iterate).
+        buf_b[:] = xm2[slot].astype(dt)
     rhs_buf = rhs2.at[slot]
     inv_b = jnp.asarray(1.0 / beta, dt)
     if src_dt is not None:
@@ -415,13 +469,20 @@ def _jacobi_kernel(
         _apply_bnd_window(dst, b_bc, start, wr, side, corners=False,
                           signs=signs)
 
-    _sweep_loop(sweep, buf_c, buf_b, sweeps, cheby_rho)
+    final, prev = _sweep_loop(sweep, buf_c, buf_b, sweeps, cheby_rho,
+                              w_start if carry_in else None)
 
+    off = pl.multiple_of(r0 - start, st)
     ob = out_ref.at[0]
-    ob[:] = buf_c[pl.ds(pl.multiple_of(r0 - start, st), tm), :].astype(
-        out_ref.dtype
-    )
+    ob[:] = final[pl.ds(off, tm), :].astype(out_ref.dtype)
     _apply_corners(ob, r0, tm, side)
+    if carry_out:
+        # x_{k+s-1} for the next chained call's combine.  Read POINTWISE
+        # there (and its ghosts re-derived by that call's in-sweep BC), so
+        # no corner fix is needed; validity at the output rows exceeds
+        # final's by one sweep.
+        op = outp_ref.at[0]
+        op[:] = prev[pl.ds(off, tm), :].astype(outp_ref.dtype)
 
 
 def _sweep_clamp(side: int, tm: int, dtype) -> int:
@@ -435,11 +496,13 @@ def _sweep_clamp(side: int, tm: int, dtype) -> int:
 
 
 def cheby_max_iters(side: int, dtype=jnp.float32) -> int:
-    """Largest Chebyshev sweep count a diffusion/pressure solve can run at
-    this grid side: the three-term recurrence's x_{k-1} lives in VMEM, so
-    the whole 2-D solve must fit ONE fused kernel call (``fused_jacobi``
-    raises past this).  Callers (bench.py's compensated perf mode) use it
-    to fall back rather than crash at large sides (8192² clamps to 7)."""
+    """Largest Chebyshev sweep count a single fused kernel CALL can run at
+    this grid side (the per-call VMEM margin clamp; 8192² clamps to 7).
+    Solves past this no longer raise: ``fused_jacobi`` chains calls with
+    the cross-call carry (both iterates written out, x_{k-1} DMA'd back
+    in — the mechanism ported from the 3-D chain), at the cost of two
+    extra HBM transfers per junction.  Returns 0 when the strip planner
+    declines the side entirely."""
     tm = _pick_tm(side)
     if tm is None:
         return 0
@@ -468,9 +531,12 @@ def fused_jacobi(
     ``max_fused`` sweeps per HBM round-trip.  ``zero_init`` skips loading the
     initial guess (pressure solve: p is zeroed, ``FluidSequential.c:153``).
     Accepts (side, side) or batched (B, side, side) arrays.  ``cheby_rho``
-    switches to Chebyshev-accelerated sweeps (``ops/chebyshev.py``);
-    the three-term recurrence spans ALL sweeps, so the solve must fit one
-    kernel call (raises when the VMEM margin clamp forces chaining)."""
+    switches to Chebyshev-accelerated sweeps (``ops/chebyshev.py``); the
+    three-term recurrence spans ALL sweeps, so when the VMEM margin clamp
+    forces chaining the chain carries x_{k-1} across calls (both iterates
+    written per call, the x_{k-1} window DMA'd back in, the w recurrence
+    resumed from a static ``w_start``) — the 2-D port of the 3-D
+    cross-call carry (``pallas_ops_3d.fused_jacobi3``)."""
     assert not (cheby_rho is not None and damp is not None)
     side = x0.shape[-1]
     tm = _pick_tm(side)
@@ -492,12 +558,31 @@ def fused_jacobi(
         x0 = x0 + jnp.asarray(src_dt, x0.dtype) * x
         src_dt = None
     if cheby_rho is not None and iters > max_fused:
-        raise ValueError(
-            f"chebyshev solve needs all {iters} sweeps in one kernel call "
-            f"(three-term recurrence state lives in VMEM) but the margin "
-            f"clamp allows only {max_fused} at side={side}; use fewer "
-            f"cheby_iters or pressure/diffusion_solver='jacobi'"
-        )
+        # Cross-call Chebyshev carry: chain segments, carrying BOTH
+        # iterates across the junction and resuming the w recurrence from
+        # the host-computed schedule (sweep k+1 after ``done`` sweeps uses
+        # w_{done+1}; ``cheby_omegas`` returns w_2..w_iters).
+        from ..ops.chebyshev import cheby_omegas
+
+        om = cheby_omegas(float(cheby_rho), iters)
+        xm = None
+        done = 0
+        while done < iters:
+            s = min(iters - done, max_fused)
+            last = done + s >= iters
+            res = _fused_jacobi_call(
+                b, x, x0, float(alpha), float(beta), s, tm, side,
+                zero_init and done == 0, None, fast, nb1, None,
+                float(cheby_rho), xm=xm, carry_in=xm is not None,
+                carry_out=not last,
+                w_start=None if done == 0 else float(om[done - 1]),
+            )
+            if last:
+                x = res
+            else:
+                x, xm = res
+            done += s
+        return x
     while remaining > 0:
         k = min(remaining, max_fused)
         x = _fused_jacobi_call(
@@ -515,11 +600,13 @@ def fused_jacobi(
 @functools.partial(
     jax.jit, static_argnames=("b", "alpha", "beta", "sweeps", "tm", "side",
                               "zero_init", "src_dt", "fast", "nb1", "damp",
-                              "cheby_rho")
+                              "cheby_rho", "carry_in", "carry_out",
+                              "w_start")
 )
 def _fused_jacobi_call(b, x, x0, alpha, beta, sweeps, tm, side, zero_init,
                        src_dt=None, fast=False, nb1=0, damp=None,
-                       cheby_rho=None):
+                       cheby_rho=None, xm=None, carry_in=False,
+                       carry_out=False, w_start=None):
     st = _sub(x0.dtype)
     if tm == side:
         wr = side  # whole grid in one window; margin condition is vacuous
@@ -532,6 +619,8 @@ def _fused_jacobi_call(b, x, x0, alpha, beta, sweeps, tm, side, zero_init,
     if squeeze:
         x = x.reshape(1, side, side)
         x0 = x0.reshape(1, side, side)
+        if xm is not None:
+            xm = xm.reshape(1, side, side)
     nb = x0.shape[0]
     nstrips = side // tm
     kernel = functools.partial(
@@ -539,32 +628,43 @@ def _fused_jacobi_call(b, x, x0, alpha, beta, sweeps, tm, side, zero_init,
         tm=tm, wr=wr, side=side, zero_init=zero_init, margin=margin,
         nstrips=nstrips, total=nb * nstrips, st=st, nb1=nb1,
         src_dt=src_dt, fast=fast, damp=damp, cheby_rho=cheby_rho,
+        carry_in=carry_in, carry_out=carry_out, w_start=w_start,
     )
+    blk = pl.BlockSpec((1, tm, side), lambda bi, gi: (bi, gi, 0),
+                       memory_space=pltpu.VMEM)
+    shp = jax.ShapeDtypeStruct((nb, side, side), x0.dtype)
+    scratch = [pltpu.VMEM((2, wr, side), x0.dtype)]
+    if carry_in:  # xm2: the carried x_{k-1} windows (kernel arg order)
+        scratch.append(pltpu.VMEM((2, wr, side), x0.dtype))
+    scratch += [
+        pltpu.VMEM((2, wr, side), x0.dtype),
+        pltpu.VMEM((wr, side), jnp.float32),
+        pltpu.VMEM((wr, side), jnp.float32),
+        pltpu.SemaphoreType.DMA((2, 3 if carry_in else 2)),
+    ]
     out = pl.pallas_call(
         kernel,
         grid=(nb, nstrips),
-        out_shape=jax.ShapeDtypeStruct((nb, side, side), x0.dtype),
-        in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ],
-        out_specs=pl.BlockSpec((1, tm, side), lambda bi, gi: (bi, gi, 0),
-                               memory_space=pltpu.VMEM),
-        scratch_shapes=[
-            pltpu.VMEM((2, wr, side), x0.dtype),
-            pltpu.VMEM((2, wr, side), x0.dtype),
-            pltpu.VMEM((wr, side), jnp.float32),
-            pltpu.VMEM((wr, side), jnp.float32),
-            pltpu.SemaphoreType.DMA((2, 2)),
-        ],
+        out_shape=(shp, shp) if carry_out else shp,
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * (3 if carry_in
+                                                        else 2),
+        out_specs=(blk, blk) if carry_out else blk,
+        scratch_shapes=scratch,
         interpret=INTERPRET,
         # 8192-wide grids: 6 windows + pipelined out blocks + Mosaic stack
-        # peak at ~50MB with 128-row strips; same raised per-kernel cap as
-        # the projection/dens kernels (96MB scratch verified on this chip).
+        # peak at ~50MB with 128-row strips; carried chebyshev calls add 2
+        # xm windows + a second out stream (~68MB) — still under the same
+        # raised per-kernel cap as the projection/dens kernels (96MB
+        # scratch verified on this chip).
         compiler_params=None if INTERPRET else pltpu.CompilerParams(
             vmem_limit_bytes=_SWEEP_KERNEL_CAP
         ),
-    )(x, x0)
+    )(*((x, xm, x0) if carry_in else (x, x0)))
+    if carry_out:
+        o, op = out
+        if squeeze:
+            return o.reshape(side, side), op.reshape(side, side)
+        return o, op
     return out.reshape(side, side) if squeeze else out
 
 
@@ -715,17 +815,17 @@ def _project_kernel(
             dst[:] = wc * val + (jnp.asarray(1.0, dt) - wc) * dst[:]
         _apply_bnd_window(dst, 0, start, wr, side, corners=False)
 
-    _sweep_loop(sweep, p_a, p_b, iters, cheby_rho)
+    p_fin, p_scr = _sweep_loop(sweep, p_a, p_b, iters, cheby_rho)
 
     # Gradient subtraction (lastProject, FluidSequential.c:161-173) on the
     # output strip.  Aligned ref reads (no dynamic_slice on values in
-    # Mosaic); row-shifted views staged through p_b.
+    # Mosaic); row-shifted views staged through the dead ping-pong partner.
     off = pl.multiple_of(r0 - start, st)
-    p_c = p_a[pl.ds(off, tm), :]
-    p_b[:] = pltpu.roll(p_a[:], 1, 0)       # p_b[r] = p[r-1] (up neighbor)
-    p_up = p_b[pl.ds(off, tm), :]
-    p_b[:] = pltpu.roll(p_a[:], wr - 1, 0)  # p_b[r] = p[r+1] (down neighbor)
-    p_dn = p_b[pl.ds(off, tm), :]
+    p_c = p_fin[pl.ds(off, tm), :]
+    p_scr[:] = pltpu.roll(p_fin[:], 1, 0)       # p[r-1] (up neighbor)
+    p_up = p_scr[pl.ds(off, tm), :]
+    p_scr[:] = pltpu.roll(p_fin[:], wr - 1, 0)  # p[r+1] (down neighbor)
+    p_dn = p_scr[pl.ds(off, tm), :]
     dp = pltpu.roll(p_c, side - 1, 1) - pltpu.roll(p_c, 1, 1)
     u_c = ubuf[pl.ds(off, tm), :].astype(dt)
     v_c = vbuf[pl.ds(off, tm), :].astype(dt)
@@ -1203,10 +1303,10 @@ def _dens_fused_kernel(
             dst[:] = wc * val + (jnp.asarray(1.0, dtype) - wc) * dst[:]
         _apply_bnd_window(dst, b, start, wr, side, corners=False)
 
-    _sweep_loop(sweep, buf_c, buf_b, sweeps, cheby_rho)
+    final, prev = _sweep_loop(sweep, buf_c, buf_b, sweeps, cheby_rho)
     # Corner cells ARE bilinear gather sources (x,y clamp to 0.5 pulls
     # wall-adjacent backtraces onto the corner); fix them before gathering.
-    _apply_corners(buf_c, start, wr, side)
+    _apply_corners(final, start, wr, side)
 
     # --- Semi-Lagrangian gather from the swept window ---
     dt0 = jnp.asarray(dt, dtype) * n
@@ -1234,7 +1334,7 @@ def _dens_fused_kernel(
 
     g00 = xs2.at[slot]   # dead since the guess was copied out
     g01 = rhs2.at[slot]  # dead after the final sweep
-    g10 = buf_b          # dead after the final sweep
+    g10 = prev           # the losing ping-pong buffer, dead after the sweeps
     g11 = g11b
     zero = jnp.zeros((tm, side), dtype)
     g00[0:tm, :] = zero
@@ -1245,7 +1345,7 @@ def _dens_fused_kernel(
 
     # One dynamic roll lands global row r0 at static local row 8 of wbuf.
     shift = jax.lax.rem(jnp.int32(wr) + 8 - off, jnp.int32(wr))
-    wbuf[:] = pltpu.roll(buf_c[:], shift, 0)[0 : tm + 16, :]
+    wbuf[:] = pltpu.roll(final[:], shift, 0)[0 : tm + 16, :]
 
     for a_idx in range(nshift):
         a = a_idx - cmax

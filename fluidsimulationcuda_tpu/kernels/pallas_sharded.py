@@ -218,10 +218,10 @@ def _jacobi_slab_kernel(
             dst[:] = wc * val + (jnp.asarray(1.0, dt) - wc) * dst[:]
         bc(dst)
 
-    _sweep_loop(sweep, buf_c, buf_b, sweeps, cheby_rho)
+    final, _ = _sweep_loop(sweep, buf_c, buf_b, sweeps, cheby_rho)
 
     ob = out_ref
-    ob[:] = buf_c[pl.ds(K, tm), :]
+    ob[:] = final[pl.ds(K, tm), :]
     _slab_corners(ob, gi, tm, side, nstrips, is_top, is_bot)
 
 
@@ -657,15 +657,15 @@ def _project_slab_kernel(
         _slab_window_bc(dst, one, one, start, wr, side, is_top, is_bot,
                         gtop, gbot)
 
-    _sweep_loop(sweep, p_a, p_b, iters, cheby_rho)
+    p_fin, p_scr = _sweep_loop(sweep, p_a, p_b, iters, cheby_rho)
 
     # Gradient subtraction (lastProject, FluidSequential.c:161-173) on the
     # output strip at static window offset K.
-    p_c = p_a[K : K + tm, :]
-    p_b[:] = pltpu.roll(p_a[:], 1, 0)       # p_b[r] = p[r-1] (up neighbor)
-    p_up = p_b[K : K + tm, :]
-    p_b[:] = pltpu.roll(p_a[:], wr - 1, 0)  # p_b[r] = p[r+1] (down neighbor)
-    p_dn = p_b[K : K + tm, :]
+    p_c = p_fin[K : K + tm, :]
+    p_scr[:] = pltpu.roll(p_fin[:], 1, 0)       # p[r-1] (up neighbor)
+    p_up = p_scr[K : K + tm, :]
+    p_scr[:] = pltpu.roll(p_fin[:], wr - 1, 0)  # p[r+1] (down neighbor)
+    p_dn = p_scr[K : K + tm, :]
     dp = pltpu.roll(p_c, side - 1, 1) - pltpu.roll(p_c, 1, 1)
     u_c = ubuf[K : K + tm, :]
     v_c = vbuf[K : K + tm, :]

@@ -243,14 +243,14 @@ def _ap_kernel(
             dst[:] = wc * val + (jnp.asarray(1.0, dtype) - wc) * dst[:]
         _apply_bnd_window(dst, 0, start_p, wr, side, corners=False)
 
-    _sweep_loop(sweep, p_a, p_b, iters, cheby_rho)
+    p_fin, p_scr = _sweep_loop(sweep, p_a, p_b, iters, cheby_rho)
 
     off = pl.multiple_of(r0 - start_p, st)
-    p_c = p_a[pl.ds(off, tm), :]
-    p_b[:] = pltpu.roll(p_a[:], 1, 0)       # p_b[r] = p[r-1] (up neighbor)
-    p_up = p_b[pl.ds(off, tm), :]
-    p_b[:] = pltpu.roll(p_a[:], wr - 1, 0)  # p_b[r] = p[r+1] (down neighbor)
-    p_dn = p_b[pl.ds(off, tm), :]
+    p_c = p_fin[pl.ds(off, tm), :]
+    p_scr[:] = pltpu.roll(p_fin[:], 1, 0)       # p[r-1] (up neighbor)
+    p_up = p_scr[pl.ds(off, tm), :]
+    p_scr[:] = pltpu.roll(p_fin[:], wr - 1, 0)  # p[r+1] (down neighbor)
+    p_dn = p_scr[pl.ds(off, tm), :]
     dp = pltpu.roll(p_c, side - 1, 1) - pltpu.roll(p_c, 1, 1)
     au = adv_u[pl.ds(off, tm), :]
     av = adv_v[pl.ds(off, tm), :]

@@ -62,6 +62,51 @@ def test_pressure_kernel_matches_spec():
                                rtol=0, atol=3e-6)
 
 
+@pytest.mark.parametrize("iters,max_fused", [(10, 3), (9, 4), (12, 5)])
+def test_cheby_chain_matches_single_call(iters, max_fused):
+    """The 2-D cross-call Chebyshev carry (port of the 3-D chain): forcing
+    the per-call sweep budget below ``iters`` must chain kernel calls that
+    carry x_{k-1} across the HBM round-trip and land on the SAME iterate
+    as the unchained solve / the jnp spec (only the w recurrence's f32
+    resume point can differ, by ~1 ulp)."""
+    x, x0 = _grid(8), _grid(9)
+    ref = cheby_diffuse(1, x, x0, 0.3, 2.2, iters, 0.95)
+    one = pallas_ops.fused_jacobi(1, x, x0, 0.3, 2.2, iters, cheby_rho=0.95)
+    got = pallas_ops.fused_jacobi(1, x, x0, 0.3, 2.2, iters, cheby_rho=0.95,
+                                  max_fused=max_fused)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(one),
+                               rtol=0, atol=2e-6)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=0, atol=3e-6)
+
+
+def test_cheby_chain_pressure_zero_init():
+    """Chained pressure solve (zero initial guess only on the first
+    segment) against the jnp spec."""
+    div = _grid(10, scale=0.01)
+    ref = cheby_pressure_solve(div, 11, 0.995)
+    got = pallas_ops.fused_jacobi(0, div, div, 1.0, 4.0, 11,
+                                  zero_init=True, cheby_rho=0.995,
+                                  max_fused=4)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=0, atol=3e-6)
+
+
+def test_cheby_chain_strip_mode():
+    """Chaining through the strip planner (tm < side: windows with real
+    validity margins, the junction DMAs running per strip).  640 is the
+    smallest side the planner strips at; iters kept low for interpret
+    mode."""
+    side = 640
+    x, x0 = _grid(11, side=side), _grid(12, side=side)
+    assert pallas_ops._pick_tm(side) not in (None, side)
+    ref = cheby_diffuse(2, x, x0, 0.2, 1.8, 7, 0.9)
+    got = pallas_ops.fused_jacobi(2, x, x0, 0.2, 1.8, 7, cheby_rho=0.9,
+                                  max_fused=3)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=0, atol=3e-6)
+
+
 def test_fused_projection_cheby_matches_composition():
     u, v = _grid(4, scale=0.1), _grid(5, scale=0.1)
     from fluidsimulationcuda_tpu.ops.project import (
@@ -229,12 +274,11 @@ def test_cheby_press_iters_plumbing_3d():
 
 
 def test_cheby_max_iters():
-    """The feasibility probe bench.py's compensated mode falls back on:
-    a 2-D Chebyshev solve must fit ONE fused kernel call (x_{k-1} lives
-    in VMEM), so large sides clamp the sweep budget."""
+    """The per-CALL sweep clamp: past it ``fused_jacobi`` now chains calls
+    with the cross-call carry instead of raising (round 4), so this is a
+    junction-count predictor, not a feasibility gate."""
     from fluidsimulationcuda_tpu.kernels.pallas_ops import cheby_max_iters
-    # the measured 8192² clamp (bench fallback message pins 7; the bench
-    # grids use power-of-two SIDES, n = side - 2)
+    # the measured 8192² clamp (chebyshev-14 there chains 14 = 7 + 7)
     assert cheby_max_iters(8192) == 7
     # 2048² must admit the shipped compensated mode (14 pressure sweeps)
     assert cheby_max_iters(2048) >= 14
@@ -260,6 +304,12 @@ def test_config_validation():
     SimConfig(n=30, ndim=3, diffusion_solver="chebyshev-dens")
     with pytest.raises(ValueError):
         SimConfig(n=30, diffusion_solver="chebyshev-dens", cheby_dens_iters=1)
+    with pytest.raises(ValueError):
+        SimConfig(n=30, cheby_press_iters=1)
+    # 0 follows cheby_iters; nonzero overrides the pressure solve only
+    assert SimConfig(n=30, cheby_iters=6).press_cheby_iters == 6
+    assert SimConfig(n=30, cheby_iters=6,
+                     cheby_press_iters=14).press_cheby_iters == 14
 
 
 def test_compensated_3d_audit_twin_and_engagement():
@@ -288,9 +338,3 @@ def test_compensated_3d_audit_twin_and_engagement():
     s_j = make_step_fn_3d(SimConfig(**kw))(state, src)
     assert np.abs(np.asarray(want.u) - np.asarray(s_j.u)).max() > 0, \
         "velocity diffusion swap should engage (cheby-4 != jacobi-6)"
-    with pytest.raises(ValueError):
-        SimConfig(n=30, cheby_press_iters=1)
-    # 0 follows cheby_iters; nonzero overrides the pressure solve only
-    assert SimConfig(n=30, cheby_iters=6).press_cheby_iters == 6
-    assert SimConfig(n=30, cheby_iters=6,
-                     cheby_press_iters=14).press_cheby_iters == 14
