@@ -71,11 +71,29 @@ def _add_common(p):
                         "sweeps; + fast-math).  Operating points are "
                         "measured per dimensionality/size — see "
                         "docs/PERFORMANCE.md; explicit solver flags are "
-                        "overridden")
+                        "overridden (with a warning).  Pair with "
+                        "--validate to run the solver-quality bars at "
+                        "YOUR size before trusting the preset there")
+
+
+# Solver knobs --perf overrides; (flag dest, argparse default).
+_PERF_OVERRIDDEN = (
+    ("pressure_solver", "jacobi"), ("diffusion_solver", "jacobi"),
+    ("fast_math", False), ("cheby_iters", 8), ("cheby_press_iters", 0),
+    ("cheby_rho", 0.99),
+)
 
 
 def _cfg(args):
     if getattr(args, "perf", False):
+        clobbered = [f for f, d in _PERF_OVERRIDDEN
+                     if getattr(args, f, d) != d]
+        if clobbered:
+            print("WARNING: --perf overrides explicitly passed "
+                  + ", ".join("--" + f.replace("_", "-")
+                              for f in clobbered)
+                  + " (the preset is a validated operating POINT; drop "
+                    "--perf to tune knobs individually)", file=sys.stderr)
         args.pressure_solver = "chebyshev"
         args.diffusion_solver = "chebyshev"
         args.fast_math = True
@@ -84,6 +102,42 @@ def _cfg(args):
             args.cheby_rho, args.cheby_press_iters = 0.85, 12
         else:
             args.cheby_rho, args.cheby_press_iters = 0.9, 14
+    cfg = _build_cfg(args)
+    if getattr(args, "perf", False):
+        cfg = _perf_feasible_or_fallback(cfg)
+    return cfg
+
+
+def _perf_feasible_or_fallback(cfg):
+    """Trace-probe the perf config (the bench.py safety net, shared
+    behavior): where the compensated point cannot compile — sides the
+    strip planner declines outright; the cross-call Chebyshev carry covers
+    every planner-supported side since round 4 — fall back to the
+    density-only swap with a loud warning instead of a traceback."""
+    import dataclasses
+
+    from . import make_step_fn, zero_sources, zero_state
+
+    if cfg.ndim == 3:
+        from .models.stable_fluids_3d import make_step_fn_3d as mk
+    else:
+        mk = make_step_fn
+    try:
+        jax.eval_shape(mk(cfg), zero_state(cfg), zero_sources(cfg))
+        return cfg
+    except ValueError as e:
+        fb = dataclasses.replace(
+            cfg, pressure_solver="chebyshev",
+            diffusion_solver="chebyshev-dens", cheby_iters=8,
+            cheby_press_iters=0, cheby_rho=0.99)
+        print(f"WARNING: compensated perf preset infeasible at "
+              f"n={cfg.n} ({e}); falling back to chebyshev pressure + "
+              f"chebyshev density (the bench.py fallback mode)",
+              file=sys.stderr)
+        return fb
+
+
+def _build_cfg(args):
     return SimConfig(n=args.n, jacobi_iters=args.iters, backend=args.backend,
                      max_courant=args.cmax, dt=args.dt, visc=args.visc,
                      diff=args.diff, pressure_solver=args.pressure_solver,
@@ -115,6 +169,38 @@ def cmd_run(args) -> None:
                 jax.random.key(args.seed), cfg
             )
         start_step = 0
+    if getattr(args, "validate", False):
+        if cfg.ndim == 3:
+            print("--validate: bars are 2-D (bench.py --ndim 3 runs the "
+                  "3-D twins); skipping", file=sys.stderr)
+        elif (cfg.pressure_solver == "jacobi"
+              and cfg.diffusion_solver == "jacobi"):
+            print("--validate: parity jacobi config IS the bar; skipping",
+                  file=sys.stderr)
+        else:
+            import dataclasses
+
+            from .utils.validate import validate_perf_point
+
+            parity = dataclasses.replace(
+                cfg, pressure_solver="jacobi", diffusion_solver="jacobi",
+                fast_math=False)
+            print(f"validating solver point at n={cfg.n} against "
+                  f"jacobi-{cfg.jacobi_iters} (the bench.py bars)...",
+                  file=sys.stderr)
+            bars = validate_perf_point(parity, cfg)
+            for k, v in bars.items():
+                print(f"  {k}: {v:.3e}" if isinstance(v, float)
+                      else f"  {k}: {v}", file=sys.stderr)
+            if bars["ok"]:
+                print("validation PASSED: the solver point is no worse "
+                      "than the parity solve at this size", file=sys.stderr)
+            else:
+                print("validation FAILED at this size — operating points "
+                      "are size-coupled (docs/PERFORMANCE.md); tune "
+                      "--cheby-iters/--cheby-press-iters/--cheby-rho or "
+                      "drop --perf.  Continuing the run with the "
+                      "requested config.", file=sys.stderr)
     # The audited step returns the max backtrace displacement alongside the
     # state (device-side; one extra reduction pair — effectively free), so
     # every run reports whether the windowed gather was exact.
@@ -264,6 +350,13 @@ def main(argv=None) -> None:
     p.add_argument("--scenario", default="reference",
                    choices=["reference", "plume", "vortex-pair", "jets"])
     p.add_argument("--png", default=None, help="render final density to PNG")
+    p.add_argument("--validate", action="store_true",
+                   help="run the solver-quality bars (bench.py's live "
+                        "validation: divergence + residual ratios vs the "
+                        "parity jacobi solve) once at THIS size/solver "
+                        "before the timed run — operating points are "
+                        "size-coupled, so a preset validated at 2048² "
+                        "must be re-checked elsewhere")
     p.set_defaults(fn=cmd_run)
 
     p = sub.add_parser("profile", help="per-phase timing report")

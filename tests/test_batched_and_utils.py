@@ -268,3 +268,51 @@ def test_cli_perf_preset_pins_validated_operating_points():
     plain.perf = False
     c0 = cli._cfg(plain)
     assert c0.pressure_solver == "jacobi" and not c0.fast_math
+
+
+def test_cli_perf_warns_on_clobbered_flags(capsys):
+    """ADVICE r3: --perf silently discarded explicit solver flags; now it
+    must say so."""
+    from types import SimpleNamespace
+
+    from fluidsimulationcuda_tpu import __main__ as cli
+
+    def ns(rho):
+        # fresh namespace each time: _cfg mutates args in place
+        return SimpleNamespace(
+            n=126, iters=20, backend="reference", cmax=2, dt=0.016,
+            visc=0.0025, diff=0.1, ndim=2, pressure_solver="jacobi",
+            diffusion_solver="jacobi", fast_math=False, cheby_iters=8,
+            cheby_press_iters=0, cheby_rho=rho, perf=True)
+
+    cli._cfg(ns(0.5))
+    err = capsys.readouterr().err
+    assert "overrides" in err and "--cheby-rho" in err
+    # defaults-only: silent
+    cli._cfg(ns(0.99))
+    assert "overrides" not in capsys.readouterr().err
+
+
+def test_validate_perf_point_bars():
+    """The packaged bench bars (utils/validate.py) return the full dict and
+    a conjunction verdict; a parity-vs-parity 'perf' config trivially
+    passes the divergence bar and runs no residual bars."""
+    import dataclasses
+
+    from fluidsimulationcuda_tpu import SimConfig
+    from fluidsimulationcuda_tpu.utils.validate import validate_perf_point
+
+    cfg = SimConfig(n=30, jacobi_iters=8, backend="reference")
+    same = validate_perf_point(cfg, dataclasses.replace(cfg), steps=2)
+    assert same["divergence_ok"] and same["ok"]
+    assert "diffusion_residual_ratio" not in same
+    perf = dataclasses.replace(
+        cfg, pressure_solver="chebyshev", diffusion_solver="chebyshev",
+        cheby_iters=8, cheby_press_iters=10, cheby_rho=0.9)
+    bars = validate_perf_point(cfg, perf, steps=2)
+    for k in ("max_abs_divergence", "jacobi_max_abs_divergence",
+              "divergence_ok", "diffusion_residual_ratio", "diffusion_ok",
+              "dens_residual_ratio", "dens_ok", "ok"):
+        assert k in bars, k
+    assert bars["ok"] == (bars["divergence_ok"] and bars["diffusion_ok"]
+                          and bars["dens_ok"])
