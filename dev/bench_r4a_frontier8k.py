@@ -37,7 +37,16 @@ from fluidsimulationcuda_tpu import SimConfig  # noqa: E402
 def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 8190
     steps = int(sys.argv[2]) if len(sys.argv) > 2 else 12
-    quick = len(sys.argv) > 3 and sys.argv[3] == "quick"
+    if len(sys.argv) > 3 and sys.argv[3] == "quick":
+        points = [(0.9, 10, 14)]
+    elif len(sys.argv) > 3:
+        # explicit "rho,k_d,k_p;rho,k_d,k_p;..." triples
+        points = [tuple(float(v) for v in p.split(","))
+                  for p in sys.argv[3].split(";")]
+        points = [(rho, int(kd), int(kp)) for rho, kd, kp in points]
+    else:
+        points = [(rho, kd, kp) for rho in (0.85, 0.9, 0.95)
+                  for kd in (10, 12) for kp in (12, 14, 16)]
     cfg = SimConfig(n=n, jacobi_iters=40, backend="pallas", max_courant=1)
     state, _ = inject_exact(cfg)
     bar = audit_divergence(cfg, state, steps)
@@ -45,24 +54,19 @@ def main():
           flush=True)
     print(f"{'rho':>5} {'k_d':>4} {'k_p':>4} {'sweeps':>6} {'max|div|':>10} "
           f"{'div_ok':>6} {'resid':>6} {'resid_ok':>8}")
-    rhos = (0.9,) if quick else (0.85, 0.9, 0.95)
-    kds = (10,) if quick else (10, 12)
-    kps = (14,) if quick else (12, 14, 16)
-    for rho in rhos:
-        for k_d in kds:
-            for k_p in kps:
-                total = 3 * k_d + 2 * k_p
-                c = dataclasses.replace(
-                    cfg, diffusion_solver="chebyshev",
-                    pressure_solver="chebyshev", cheby_rho=rho,
-                    cheby_iters=k_d, cheby_press_iters=k_p,
-                    fast_math=True)
-                d = audit_divergence(c, state, steps)
-                r, _ = audit_diffusion_residual(c, state, min(8, steps))
-                mark = " <-- PASS" if (d <= bar and r <= 1.0) else ""
-                print(f"{rho:>5} {k_d:>4} {k_p:>4} {total:>6} {d:>10.3e} "
-                      f"{str(d <= bar):>6} {r:>6.3f} {str(r <= 1.0):>8}"
-                      f"{mark}", flush=True)
+    for rho, k_d, k_p in points:
+        total = 3 * k_d + 2 * k_p
+        c = dataclasses.replace(
+            cfg, diffusion_solver="chebyshev",
+            pressure_solver="chebyshev", cheby_rho=rho,
+            cheby_iters=k_d, cheby_press_iters=k_p,
+            fast_math=True)
+        d = audit_divergence(c, state, steps)
+        r, _ = audit_diffusion_residual(c, state, min(8, steps))
+        mark = " <-- PASS" if (d <= bar and r <= 1.0) else ""
+        print(f"{rho:>5} {k_d:>4} {k_p:>4} {total:>6} {d:>10.3e} "
+              f"{str(d <= bar):>6} {r:>6.3f} {str(r <= 1.0):>8}"
+              f"{mark}", flush=True)
 
 
 if __name__ == "__main__":

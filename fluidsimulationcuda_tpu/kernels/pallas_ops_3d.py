@@ -822,9 +822,13 @@ def _flat_gather_body(
     # Strip-range term skipping, factored per axis (the 2-D strip-range
     # gate, one dimension up): a (dz, dy) candidate pair whose offset no
     # cell in the strip uses is skipped at run time (masks provably
-    # all-false).
+    # all-false), and within a fired pair the lane (di) terms are gated
+    # the same way (round 4: the decay regime fires 1-2 of the 2C+1 lane
+    # offsets, the forcing regime 2-3 — each skipped term saves 2 lane
+    # rolls + 8 (L, side) selects).
     dk_lo, dk_hi = jnp.min(dk), jnp.max(dk)
     dj_lo, dj_hi = jnp.min(dj), jnp.max(dj)
+    di_lo, di_hi = jnp.min(di), jnp.max(di)
 
     zero = jnp.zeros((L, side), dtype)
     for g in gs:
@@ -837,33 +841,36 @@ def _flat_gather_body(
             rshift = dz * side + dy
 
             def _pair(dzi=dzi, dyi=dyi, rshift=rshift):
-                v000, v001 = g000[:], g001[:]
-                v010, v011 = g010[:], g011[:]
-                v100, v101 = g100[:], g101[:]
-                v110, v111 = g110[:], g111[:]
                 rq = wbuf[Cs + rshift : Cs + rshift + L + side + 1, :]
-                q = pltpu.roll(rq, cmax, 1)  # lane c reads c - cmax
+                wide_ = rq.shape[-1]
                 for dii in range(nsh):
-                    t = (dzi * nsh + dyi) * nsh + dii
-                    mk = key == t
-                    qn = pltpu.roll(q, q.shape[-1] - 1, 1)
-                    v000 = jnp.where(mk, q[0:L, :], v000)
-                    v001 = jnp.where(mk, qn[0:L, :], v001)
-                    v010 = jnp.where(mk, q[1 : L + 1, :], v010)
-                    v011 = jnp.where(mk, qn[1 : L + 1, :], v011)
-                    v100 = jnp.where(mk, q[side : L + side, :], v100)
-                    v101 = jnp.where(mk, qn[side : L + side, :], v101)
-                    v110 = jnp.where(mk, q[side + 1 : L + side + 1, :], v110)
-                    v111 = jnp.where(mk, qn[side + 1 : L + side + 1, :], v111)
-                    q = qn
-                g000[:] = v000
-                g001[:] = v001
-                g010[:] = v010
-                g011[:] = v011
-                g100[:] = v100
-                g101[:] = v101
-                g110[:] = v110
-                g111[:] = v111
+                    # each fired lane term re-rolls from the unshifted
+                    # slice (one static roll either way — the pre-gate
+                    # iterative q=qn chain had the same roll count when
+                    # everything fired, but could not skip)
+                    def _di(dzi=dzi, dyi=dyi, dii=dii, rq=rq):
+                        t = (dzi * nsh + dyi) * nsh + dii
+                        mk = key == t
+                        # lane c reads c - cmax + dii
+                        q = pltpu.roll(rq, (cmax - dii) % wide_, 1)
+                        qn = pltpu.roll(q, wide_ - 1, 1)
+                        g000[:] = jnp.where(mk, q[0:L, :], g000[:])
+                        g001[:] = jnp.where(mk, qn[0:L, :], g001[:])
+                        g010[:] = jnp.where(mk, q[1 : L + 1, :], g010[:])
+                        g011[:] = jnp.where(mk, qn[1 : L + 1, :], g011[:])
+                        g100[:] = jnp.where(mk, q[side : L + side, :],
+                                            g100[:])
+                        g101[:] = jnp.where(mk, qn[side : L + side, :],
+                                            g101[:])
+                        g110[:] = jnp.where(
+                            mk, q[side + 1 : L + side + 1, :], g110[:])
+                        g111[:] = jnp.where(
+                            mk, qn[side + 1 : L + side + 1, :], g111[:])
+
+                    d_i = dii - cmax
+                    pl.when(
+                        jnp.logical_and(di_lo <= d_i, d_i <= di_hi)
+                    )(_di)
 
             pl.when(
                 jnp.logical_and(
