@@ -140,17 +140,27 @@ def perf_mode_line(cfg: SimConfig, steps: int, headline_mcells: float,
         label = "multigrid pressure + fast_math"
     elif solver == "compensated":
         # The compensated diffusion swap (dev/bench_r3q_compensated.py /
-        # bench_r3r_ship.py): ALL solves on Chebyshev-10 at rho=0.9 with
-        # the pressure solve raised to 14 sweeps to remove the swap's
-        # extra mid-frequency divergence — the decoupling that opens the
+        # bench_r3r_ship.py): ALL solves Chebyshev-k_d with the pressure
+        # solve raised to k_p sweeps to remove the swap's extra
+        # mid-frequency divergence — the decoupling that opens the
         # otherwise-empty diffusion-swap frontier (r3n).  Validated by
         # divergence + velocity residual + density residual bars below.
+        # Operating points are SIZE-COUPLED (measured, not assumed):
+        # 2048²/20it probed in r3q; 8192²/40it re-probed against the
+        # jacobi-40 bars in round 4 (dev/bench_r4a_frontier8k.py — the
+        # 2048² point fails the 8192² velocity-residual bar at 1.012,
+        # and the bars are rho-adversarial there with passing points
+        # only at rho≈0.97-0.98).  Unprobed sides fall back to the
+        # 2048² point; the live bars below catch a failed transfer and
+        # the JSON line reports it honestly.
+        pts = {2048: (0.9, 10, 14), 8192: (0.97, 11, 14)}
+        rho, k_d, k_p = pts.get(cfg.n + 2, (0.9, 10, 14))
         perf_cfg = dataclasses.replace(
             cfg, pressure_solver="chebyshev", diffusion_solver="chebyshev",
-            cheby_rho=0.9, cheby_iters=10, cheby_press_iters=14,
+            cheby_rho=rho, cheby_iters=k_d, cheby_press_iters=k_p,
             fast_math=True)
-        label = ("chebyshev-10 diffusion + chebyshev-14 pressure "
-                 "(rho=0.9, compensated) + fast_math")
+        label = (f"chebyshev-{k_d} diffusion + chebyshev-{k_p} pressure "
+                 f"(rho={rho}, compensated) + fast_math")
         # Round 4: the cross-call Chebyshev carry chains kernel calls
         # past the per-call VMEM clamp (8192² clamps a call to 7 sweeps;
         # chebyshev-14 there runs as 7+7 with x_{k-1} carried across the
@@ -218,11 +228,26 @@ def perf_mode_line(cfg: SimConfig, steps: int, headline_mcells: float,
         "divergence_ok": bool(div_perf <= div_jac),
     }
     if solver in ("chebyshev-all", "compensated"):
-        ratio, (rc, rj) = audit_diffusion_residual(perf_cfg, state,
-                                                   val_steps, drive=fdrive)
+        if fdrive is not None:
+            ratio, (rc, rj) = audit_diffusion_residual(
+                perf_cfg, state, val_steps, drive=fdrive)
+            traj = f"continuous forcing x{forcing}"
+        else:
+            # Decay velocities can be EXTINCT at large alpha (8192²/40it:
+            # residuals ~1e-34 — a denormal-noise ratio, round 4), so the
+            # velocity bar runs on a x0.05 forcing twin, the same
+            # construction audit_dens_residual has always used.
+            from fluidsimulationcuda_tpu.utils.validate import (
+                audit_diffusion_residual_twin,
+            )
+
+            ratio, (rc, rj) = audit_diffusion_residual_twin(
+                perf_cfg, state, val_steps)
+            traj = "continuous forcing x0.05 twin (decay velocity "                    "residuals can be extinct)"
         rec["diffusion_residual_ratio"] = round(ratio, 3)
         rec["diffusion_ok"] = bool(ratio <= 1.0)
-        print(f"perf-mode diffusion residual: cheby {rc:.3e} vs "
+        rec["diffusion_residual_trajectory"] = traj
+        print(f"perf-mode diffusion residual ({traj}): cheby {rc:.3e} vs "
               f"jacobi-{cfg.jacobi_iters} {rj:.3e} (worst ratio "
               f"{ratio:.3f})", file=sys.stderr)
         if solver == "compensated":
