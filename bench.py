@@ -147,13 +147,15 @@ def perf_mode_line(cfg: SimConfig, steps: int, headline_mcells: float,
         # divergence + velocity residual + density residual bars below.
         # Operating points are SIZE-COUPLED (measured, not assumed):
         # 2048²/20it probed in r3q; 8192²/40it re-probed against the
-        # jacobi-40 bars in round 4 (dev/bench_r4a_frontier8k.py — the
-        # 2048² point fails the 8192² velocity-residual bar at 1.012,
-        # and the bars are rho-adversarial there with passing points
-        # only at rho≈0.97-0.98).  Unprobed sides fall back to the
-        # 2048² point; the live bars below catch a failed transfer and
-        # the JSON line reports it honestly.
-        pts = {2048: (0.9, 10, 14), 8192: (0.97, 11, 14)}
+        # jacobi-40 bars in round 4 (dev/bench_r4a_frontier8k.py + the
+        # forced-twin probes): the 2048² point fails the 8192² forced
+        # velocity-residual bar (1.029), the bar has an interior rho
+        # optimum (0.9→1.029, 0.95/k12→0.999, 0.99→1.139), and
+        # (0.96, 12, 14) passes all bars at the bench's own 15-step
+        # windows (div 0.990x, v-res 0.998).  Unprobed sides fall back
+        # to the 2048² point; the live bars below catch a failed
+        # transfer and the JSON line reports it honestly.
+        pts = {2048: (0.9, 10, 14), 8192: (0.96, 12, 14)}
         rho, k_d, k_p = pts.get(cfg.n + 2, (0.9, 10, 14))
         perf_cfg = dataclasses.replace(
             cfg, pressure_solver="chebyshev", diffusion_solver="chebyshev",

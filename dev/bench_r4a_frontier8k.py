@@ -29,7 +29,10 @@ from fluidsimulationcuda_tpu.utils.cache import enable_compilation_cache
 enable_compilation_cache()
 
 from bench import (  # noqa: E402
-    audit_diffusion_residual, audit_divergence, inject_exact,
+    audit_divergence, inject_exact,
+)
+from fluidsimulationcuda_tpu.utils.validate import (  # noqa: E402
+    audit_diffusion_residual_twin,
 )
 from fluidsimulationcuda_tpu import SimConfig  # noqa: E402
 
@@ -62,7 +65,11 @@ def main():
             cheby_iters=k_d, cheby_press_iters=k_p,
             fast_math=True)
         d = audit_divergence(c, state, steps)
-        r, _ = audit_diffusion_residual(c, state, min(8, steps))
+        # FORCED twin (round-4 lesson: the decay velocities are extinct
+        # at this alpha — a decay-residual ratio compares ~1e-34
+        # denormals and both over- and under-reports; the first probes
+        # of this script did exactly that)
+        r, _ = audit_diffusion_residual_twin(c, state, min(8, steps))
         mark = " <-- PASS" if (d <= bar and r <= 1.0) else ""
         print(f"{rho:>5} {k_d:>4} {k_p:>4} {total:>6} {d:>10.3e} "
               f"{str(d <= bar):>6} {r:>6.3f} {str(r <= 1.0):>8}"
