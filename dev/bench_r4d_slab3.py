@@ -46,7 +46,6 @@ def make_slab_jacobi(mz, side, flags):
     _, K = p3.jacobi3_slab_plan(mz, side, min(20, ITERS))
     H = K + 1
 
-    @jax.jit
     def run(x, rhs):
         rhs_ext = _ext(rhs, H)
         remaining = ITERS
@@ -66,7 +65,6 @@ def make_slab_cheby(mz, side, flags):
     H = K + 1
     ws_all = [None] + [float(w) for w in cheby_omegas(RHO, CHEBY)]
 
-    @jax.jit
     def run(x, rhs):
         rhs_ext = _ext(rhs, H)
         xm, done = None, 0
@@ -92,6 +90,18 @@ def main():
     side = int(sys.argv[1]) if len(sys.argv) > 1 else 256
     reps = int(sys.argv[2]) if len(sys.argv) > 2 else 4
     n = side - 2
+    L1, L2 = 2, 8  # slope pair: the relay adds ~26 ms sync per measurement
+
+    def scanned(f, length):
+        @jax.jit
+        def run(x, rhs):
+            def body(c, _):
+                return f(c, rhs), None
+
+            out, _ = jax.lax.scan(body, x, None, length=length)
+            return out
+
+        return run
 
     def tmin(f, *args):
         ts = []
@@ -102,24 +112,26 @@ def main():
             ts.append(time.perf_counter() - t0)
         return min(ts)
 
+    def slope(f, x, rhs):
+        """seconds per solve, scan-slope (dodges the relay sync floor)."""
+        f1, f2 = scanned(f, L1), scanned(f, L2)
+        tmin(f1, x, rhs), tmin(f2, x, rhs)
+        return (tmin(f2, x, rhs) - tmin(f1, x, rhs)) / (L2 - L1)
+
     # unsharded anchors at side³
     xs = jax.random.normal(jax.random.key(0), (side, side, side),
                            jnp.float32)
     rs = jax.random.normal(jax.random.key(1), (side, side, side),
                            jnp.float32)
 
-    @jax.jit
     def uns_j(x, rhs):
         return o3.fused_jacobi3(0, x, rhs, 1.0, 6.0, ITERS)
 
-    @jax.jit
     def uns_c(x, rhs):
         return o3.fused_jacobi3(0, x, rhs, 1.0, 6.0, CHEBY, cheby_rho=RHO)
 
-    tmin(uns_j, xs, rs)
-    tj = tmin(uns_j, xs, rs)
-    tmin(uns_c, xs, rs)
-    tc = tmin(uns_c, xs, rs)
+    tj = slope(uns_j, xs, rs)
+    tc = slope(uns_c, xs, rs)
     cell_sweeps_j = side * side * side * ITERS
     cell_sweeps_c = side * side * side * CHEBY
     print(f"unsharded {side}^3: jacobi-{ITERS} {tj * 1e3:7.2f} ms "
@@ -138,10 +150,8 @@ def main():
                                 jnp.float32)
         fj, Kj = make_slab_jacobi(mz, side, flags)
         fc, Kc = make_slab_cheby(mz, side, flags)
-        tmin(fj, x, rhs)
-        t1 = tmin(fj, x, rhs)
-        tmin(fc, x, rhs)
-        t2 = tmin(fc, x, rhs)
+        t1 = slope(fj, x, rhs)
+        t2 = slope(fc, x, rhs)
         ps1 = t1 / (mz * side * side * ITERS) * 1e12
         ps2 = t2 / (mz * side * side * CHEBY) * 1e12
         r1 = (tj / cell_sweeps_j * 1e12) / ps1
