@@ -44,6 +44,9 @@ from fluidsimulationcuda_tpu import (  # noqa: E402
     zero_sources,
     zero_state,
 )
+from fluidsimulationcuda_tpu.core.config import (  # noqa: E402
+    perf_operating_point,
+)
 from fluidsimulationcuda_tpu.utils.validate import (  # noqa: E402,F401
     # Extracted to the package (round 4) so the CLI's ``run --perf
     # --validate`` shares the exact bars this harness runs; re-exported
@@ -155,8 +158,9 @@ def perf_mode_line(cfg: SimConfig, steps: int, headline_mcells: float,
         # windows (div 0.990x, v-res 0.998).  Unprobed sides fall back
         # to the 2048² point; the live bars below catch a failed
         # transfer and the JSON line reports it honestly.
-        pts = {2048: (0.9, 10, 14), 8192: (0.96, 12, 14)}
-        rho, k_d, k_p = pts.get(cfg.n + 2, (0.9, 10, 14))
+        # Single source of truth: core/config.PERF_POINTS_2D (shared with
+        # ``run --perf`` so the CLI preset matches the bench exactly).
+        rho, k_d, k_p = perf_operating_point(cfg.n + 2, ndim=2)
         perf_cfg = dataclasses.replace(
             cfg, pressure_solver="chebyshev", diffusion_solver="chebyshev",
             cheby_rho=rho, cheby_iters=k_d, cheby_press_iters=k_p,
@@ -245,7 +249,8 @@ def perf_mode_line(cfg: SimConfig, steps: int, headline_mcells: float,
 
             ratio, (rc, rj) = audit_diffusion_residual_twin(
                 perf_cfg, state, val_steps)
-            traj = "continuous forcing x0.05 twin (decay velocity "                    "residuals can be extinct)"
+            traj = ("continuous forcing x0.05 twin (decay velocity "
+                    "residuals can be extinct)")
         rec["diffusion_residual_ratio"] = round(ratio, 3)
         rec["diffusion_ok"] = bool(ratio <= 1.0)
         rec["diffusion_residual_trajectory"] = traj
@@ -392,9 +397,10 @@ def bench_3d(args) -> None:
         return
 
     # --- perf-mode line: 3-D compensated, bars live on a forced twin
+    rho3, kd3, kp3 = perf_operating_point(cfg.n + 2, ndim=3)
     perf_cfg = dataclasses.replace(
         cfg, diffusion_solver="chebyshev", pressure_solver="chebyshev",
-        cheby_rho=0.85, cheby_iters=10, cheby_press_iters=12,
+        cheby_rho=rho3, cheby_iters=kd3, cheby_press_iters=kp3,
         fast_math=True)
     drive = (fdrive if forcing
              else jax.tree.map(lambda s: 0.05 * s, sources))

@@ -106,9 +106,14 @@ def main():
     slope("pair advect C=1",
           lambda uv: ops.advect_pair(1, 2, uv[0], uv[1], uv[0], uv[1],
                                      cfg.dt, n)[0], (a, b))
-    if ops.advect_project is not None:
+    # the fused advect+projection capability is no longer an OpSet hook
+    # (measured slower; kernels/pallas_step.py) — probe it directly
+    from fluidsimulationcuda_tpu.kernels import pallas_step as _ps
+
+    if _ps.advect_project_supported(n + 2, 20, cfg.max_courant):
         slope("fused advect+projection (pair adv+div+20sw+grad)",
-              lambda uv: ops.advect_project(uv[0], uv[1], n, 20, cfg.dt)[0],
+              lambda uv: _ps.fused_advect_project(
+                  uv[0], uv[1], n, 20, cfg.dt, cmax=cfg.max_courant)[0],
               (a, b))
     if ops.diffuse_advect is not None:
         slope("fused dens pair (src+20sw diffuse+advect)",

@@ -43,40 +43,48 @@ def _add_common(p):
     p.add_argument("--ndim", type=int, default=2, choices=(2, 3),
                    help="3 runs the smoke-volume solver (reference scenario "
                         "only; scenarios/PNG are 2-D)")
-    p.add_argument("--pressure-solver", default="jacobi",
-                   choices=["jacobi", "multigrid", "cg", "chebyshev"])
-    p.add_argument("--diffusion-solver", default="jacobi",
+    # The solver knobs --perf overrides default to None (a sentinel) so
+    # "explicitly passed" is detectable even when the passed value equals
+    # the resolved default — _cfg() resolves None to the real defaults.
+    p.add_argument("--pressure-solver", default=None,
+                   choices=["jacobi", "multigrid", "cg", "chebyshev"],
+                   help="pressure solve (default jacobi)")
+    p.add_argument("--diffusion-solver", default=None,
                    choices=["jacobi", "chebyshev", "chebyshev-dens"],
-                   help="chebyshev-dens accelerates only the density solve "
-                        "(velocity stays bit-parity; see core/config.py)")
-    p.add_argument("--fast-math", action="store_true",
+                   help="default jacobi; chebyshev-dens accelerates only "
+                        "the density solve (velocity stays bit-parity; "
+                        "see core/config.py)")
+    p.add_argument("--fast-math", action="store_true", default=None,
                    help="reciprocal-multiply Jacobi sweeps (~1 ulp/sweep "
                         "from parity; pairs with --pressure-solver "
                         "chebyshev for the bench.py perf mode)")
-    p.add_argument("--cheby-iters", type=int, default=8,
-                   help="sweeps per solve in chebyshev modes")
-    p.add_argument("--cheby-press-iters", type=int, default=0,
-                   help="decoupled pressure sweep count (0 = follow "
-                        "--cheby-iters); the compensated perf mode is "
-                        "--diffusion-solver chebyshev --pressure-solver "
+    p.add_argument("--cheby-iters", type=int, default=None,
+                   help="sweeps per solve in chebyshev modes (default 8)")
+    p.add_argument("--cheby-press-iters", type=int, default=None,
+                   help="decoupled pressure sweep count (default 0 = "
+                        "follow --cheby-iters); the compensated perf mode "
+                        "is --diffusion-solver chebyshev --pressure-solver "
                         "chebyshev --cheby-iters 10 --cheby-press-iters 14 "
                         "--cheby-rho 0.9 --fast-math")
-    p.add_argument("--cheby-rho", type=float, default=0.99,
-                   help="Chebyshev interval parameter (free knob, not a "
-                        "stability bound; ops/chebyshev.py)")
+    p.add_argument("--cheby-rho", type=float, default=None,
+                   help="Chebyshev interval parameter (default 0.99; free "
+                        "knob, not a stability bound; ops/chebyshev.py)")
     p.add_argument("--perf", action="store_true",
                    help="apply the validated compensated perf-mode preset "
-                        "for --ndim (2-D: cheby-10 @ rho=0.9 + 14 pressure "
-                        "sweeps; 3-D: cheby-10 @ rho=0.85 + 12 pressure "
-                        "sweeps; + fast-math).  Operating points are "
-                        "measured per dimensionality/size — see "
-                        "docs/PERFORMANCE.md; explicit solver flags are "
-                        "overridden (with a warning).  Pair with "
-                        "--validate to run the solver-quality bars at "
-                        "YOUR size before trusting the preset there")
+                        "for --ndim/--n (size-coupled, from "
+                        "core/config.PERF_POINTS_2D — e.g. 2-D 2048²: "
+                        "cheby-10 @ rho=0.9 + 14 pressure sweeps; 3-D: "
+                        "cheby-10 @ rho=0.85 + 12 sweeps; + fast-math).  "
+                        "Operating points are measured per "
+                        "dimensionality/size — see docs/PERFORMANCE.md; "
+                        "explicit solver flags are overridden (with a "
+                        "warning).  Pair with --validate to run the "
+                        "solver-quality bars at YOUR size before trusting "
+                        "the preset there")
 
 
-# Solver knobs --perf overrides; (flag dest, argparse default).
+# Solver knobs --perf overrides; (flag dest, resolved default when the
+# None sentinel survives to _build_cfg).
 _PERF_OVERRIDDEN = (
     ("pressure_solver", "jacobi"), ("diffusion_solver", "jacobi"),
     ("fast_math", False), ("cheby_iters", 8), ("cheby_press_iters", 0),
@@ -86,22 +94,26 @@ _PERF_OVERRIDDEN = (
 
 def _cfg(args):
     if getattr(args, "perf", False):
-        clobbered = [f for f, d in _PERF_OVERRIDDEN
-                     if getattr(args, f, d) != d]
+        # None is the "not passed" sentinel, so ANY explicit flag —
+        # including one passing the default value — triggers the warning.
+        clobbered = [f for f, _ in _PERF_OVERRIDDEN
+                     if getattr(args, f, None) is not None]
         if clobbered:
             print("WARNING: --perf overrides explicitly passed "
                   + ", ".join("--" + f.replace("_", "-")
                               for f in clobbered)
                   + " (the preset is a validated operating POINT; drop "
                     "--perf to tune knobs individually)", file=sys.stderr)
+        from .core.config import perf_operating_point
+
+        ndim = getattr(args, "ndim", 2)
+        rho, k_d, k_p = perf_operating_point(args.n + 2, ndim)
         args.pressure_solver = "chebyshev"
         args.diffusion_solver = "chebyshev"
         args.fast_math = True
-        args.cheby_iters = 10
-        if getattr(args, "ndim", 2) == 3:
-            args.cheby_rho, args.cheby_press_iters = 0.85, 12
-        else:
-            args.cheby_rho, args.cheby_press_iters = 0.9, 14
+        args.cheby_iters = k_d
+        args.cheby_press_iters = k_p
+        args.cheby_rho = rho
     cfg = _build_cfg(args)
     if getattr(args, "perf", False):
         cfg = _perf_feasible_or_fallback(cfg)
@@ -138,15 +150,19 @@ def _perf_feasible_or_fallback(cfg):
 
 
 def _build_cfg(args):
+    def knob(f, default):
+        v = getattr(args, f, None)
+        return default if v is None else v
+
     return SimConfig(n=args.n, jacobi_iters=args.iters, backend=args.backend,
                      max_courant=args.cmax, dt=args.dt, visc=args.visc,
-                     diff=args.diff, pressure_solver=args.pressure_solver,
-                     diffusion_solver=getattr(args, "diffusion_solver",
-                                              "jacobi"),
-                     fast_math=getattr(args, "fast_math", False),
-                     cheby_iters=getattr(args, "cheby_iters", 8),
-                     cheby_press_iters=getattr(args, "cheby_press_iters", 0),
-                     cheby_rho=getattr(args, "cheby_rho", 0.99),
+                     diff=args.diff,
+                     pressure_solver=knob("pressure_solver", "jacobi"),
+                     diffusion_solver=knob("diffusion_solver", "jacobi"),
+                     fast_math=knob("fast_math", False),
+                     cheby_iters=knob("cheby_iters", 8),
+                     cheby_press_iters=knob("cheby_press_iters", 0),
+                     cheby_rho=knob("cheby_rho", 0.99),
                      ndim=getattr(args, "ndim", 2))
 
 
@@ -174,7 +190,10 @@ def cmd_run(args) -> None:
             print("--validate: bars are 2-D (bench.py --ndim 3 runs the "
                   "3-D twins); skipping", file=sys.stderr)
         elif (cfg.pressure_solver == "jacobi"
-              and cfg.diffusion_solver == "jacobi"):
+              and cfg.diffusion_solver == "jacobi" and not cfg.fast_math):
+            # The parity twin is jacobi+jacobi WITHOUT fast_math; a
+            # fast-math-only config is numerics-affecting and still gets
+            # the divergence bar below.
             print("--validate: parity jacobi config IS the bar; skipping",
                   file=sys.stderr)
         else:

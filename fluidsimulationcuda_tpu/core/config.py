@@ -11,6 +11,7 @@ the constant-folded configuration.
 from __future__ import annotations
 
 import dataclasses
+import math
 from typing import Tuple
 
 import jax.numpy as jnp
@@ -219,3 +220,39 @@ class SimConfig:
 
     def replace(self, **kw) -> "SimConfig":
         return dataclasses.replace(self, **kw)
+
+
+# Validated compensated perf-mode operating points, keyed by full grid
+# side (n + 2).  (rho, k_d diffusion sweeps, k_p pressure sweeps) — these
+# are MEASURED, size-coupled points, not defaults:
+#
+# - 2-D 2048²/20it: probed in dev/bench_r3q_compensated.py; all three
+#   bars pass (div 0.44x, forced v-res 0.304, dens 0.913).
+# - 2-D 8192²/40it: re-probed in round 4 (dev/bench_r4a_frontier8k.py +
+#   the forced-twin probes) — the 2048² point FAILS the forced
+#   velocity-residual bar there (1.029); (0.96, 12, 14) passes all bars
+#   (div 0.990x, v-res 0.998).
+# - 3-D 256³/20it: dev/bench_r3s_3dcomp.py — rho=0.9 fails 3-D, 0.85
+#   passes with k_p=12.
+#
+# Unprobed sides fall back to the nearest probed point; both bench.py and
+# ``run --perf`` consult THIS table (single source of truth) and both can
+# run the live bars at the requested size to catch a failed transfer.
+PERF_POINTS_2D = {2048: (0.9, 10, 14), 8192: (0.96, 12, 14)}
+PERF_POINT_3D = (0.85, 10, 12)
+
+
+def perf_operating_point(side: int, ndim: int = 2):
+    """(cheby_rho, cheby_iters, cheby_press_iters) for the compensated
+    perf preset at full grid ``side`` = n + 2.  Size-coupled and measured
+    — see the table above for provenance."""
+    if ndim == 3:
+        return PERF_POINT_3D
+    if side in PERF_POINTS_2D:
+        return PERF_POINTS_2D[side]
+    # Unprobed side: snap to the nearest probed anchor (log-distance, so
+    # 4096² uses the 2048² point).  The live bars exist precisely to
+    # catch a failed transfer at such sizes — callers should run them.
+    nearest = min(PERF_POINTS_2D,
+                  key=lambda s: abs(math.log(s) - math.log(max(side, 1))))
+    return PERF_POINTS_2D[nearest]

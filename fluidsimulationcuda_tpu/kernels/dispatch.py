@@ -56,10 +56,12 @@ class OpSet(NamedTuple):
     # diffuse_src -> advect (``FluidSequential.c:176-186``) in one kernel.
     # None = compose the two ops (reference backend, unsupported shapes).
     diffuse_advect: Callable | None = None
-    # Optional cross-op fusion: self-advect (u, v) -> second projection
-    # (``FluidSequential.c:232-240``) in one kernel (Jacobi solver only).
-    # None = compose advect_pair + project.
-    advect_project: Callable | None = None
+    # NOTE: there is deliberately NO advect_project hook.  A fused
+    # self-advect + second-projection kernel exists
+    # (kernels/pallas_step.fused_advect_project,
+    # ``FluidSequential.c:232-240`` in one kernel) but measured SLOWER
+    # than the advect_pair + project composition (0.98 vs 0.82 ms at
+    # 2048²/20it/cmax=1) — kept as a tested, documented capability only.
 
 
 def _advect_pair_ref(b1, b2, d1, d2, u, v, dt, n):

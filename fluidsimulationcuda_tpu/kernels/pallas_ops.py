@@ -1753,12 +1753,11 @@ def make_opset(cfg: SimConfig) -> OpSet:
         project=project,
         diffuse_src=diffuse_src,
         diffuse_advect=diffuse_advect,
-        # advect_project (kernels/pallas_step.fused_advect_project) is
-        # deliberately NOT wired: slope-measured at 2048^2/20it/cmax=1 the
-        # fused tail runs 0.98 ms vs 0.82 ms for advect_pair +
-        # fused_project — the (tm+2*margin)/tm sweep+gather redundancy at
-        # its VMEM-feasible strip heights (tm<=256; tm=512 exceeds even the
-        # 96MB scoped cap) costs more than the saved HBM round-trip.  Kept
-        # as a tested capability; see docs/PERFORMANCE.md.
-        advect_project=None,
+        # kernels/pallas_step.fused_advect_project is deliberately NOT an
+        # OpSet hook: slope-measured at 2048^2/20it/cmax=1 the fused tail
+        # runs 0.98 ms vs 0.82 ms for advect_pair + fused_project — the
+        # (tm+2*margin)/tm sweep+gather redundancy at its VMEM-feasible
+        # strip heights (tm<=256; tm=512 exceeds even the 96MB scoped cap)
+        # costs more than the saved HBM round-trip.  Kept as a tested
+        # capability; see docs/PERFORMANCE.md.
     )

@@ -39,9 +39,8 @@ def _make_project(cfg: SimConfig, ops):
 
         # Pallas opsets smooth through the fused-sweep kernel (the jnp
         # smoother costs ~10x at 2048²); reference opsets stay pure jnp.
-        # Discriminate on diffuse_advect — the field every pallas opset sets
-        # and the reference opset leaves None (advect_project is None on BOTH:
-        # it is a deliberately-unwired capability, kernels/pallas_ops.py).
+        # Discriminate on diffuse_advect — the field every pallas opset
+        # sets and the reference opset leaves None.
         pallas_smoother = ops.diffuse_advect is not None
 
         def _project(u, v):
@@ -99,10 +98,11 @@ def vel_step(
     _project = _make_project(cfg, ops)
 
     u, v = _project(u, v)
-    if ops.advect_project is not None and cfg.pressure_solver == "jacobi":
-        # advect pair + second projection fused into one kernel (no HBM
-        # round-trip for the advected velocities).
-        return ops.advect_project(u, v, cfg.n, cfg.jacobi_iters, cfg.dt)
+    # NOTE: a fused advect-pair + second-projection kernel exists
+    # (kernels/pallas_step.fused_advect_project) but measured SLOWER than
+    # this composition (0.98 vs 0.82 ms at 2048²) and is deliberately not
+    # dispatched — the capability and its measurement live in
+    # kernels/pallas_step.py and docs/PERFORMANCE.md.
     u0, v0 = u, v
     u, v = ops.advect_pair(1, 2, u0, v0, u0, v0, cfg.dt, cfg.n)
     return _project(u, v)
@@ -162,11 +162,8 @@ def step_audited(
     _project = _make_project(cfg, ops)
     u, v = _project(u, v)
     d_vel = _disp(u, v)  # what the self-advection actually backtraces with
-    if ops.advect_project is not None and cfg.pressure_solver == "jacobi":
-        u, v = ops.advect_project(u, v, cfg.n, cfg.jacobi_iters, cfg.dt)
-    else:
-        u, v = ops.advect_pair(1, 2, u, v, u, v, cfg.dt, cfg.n)
-        u, v = _project(u, v)
+    u, v = ops.advect_pair(1, 2, u, v, u, v, cfg.dt, cfg.n)
+    u, v = _project(u, v)
     d_dens = _disp(u, v)  # what the density advection backtraces with
     dens = dens_step(cfg, state.dens, sources.dens, u, v)
     return FluidState(dens=dens, u=u, v=v), jnp.maximum(d_vel, d_dens)

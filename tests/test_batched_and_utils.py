@@ -251,11 +251,13 @@ def test_cli_perf_preset_pins_validated_operating_points():
     from fluidsimulationcuda_tpu import __main__ as cli
 
     def ns(ndim):
+        # None = the argparse "not passed" sentinel (ADVICE r4: value
+        # equality with defaults missed explicitly-passed defaults)
         return SimpleNamespace(
             n=126, iters=20, backend="reference", cmax=2, dt=0.016,
-            visc=0.0025, diff=0.1, ndim=ndim, pressure_solver="jacobi",
-            diffusion_solver="jacobi", fast_math=False, cheby_iters=8,
-            cheby_press_iters=0, cheby_rho=0.99, perf=True)
+            visc=0.0025, diff=0.1, ndim=ndim, pressure_solver=None,
+            diffusion_solver=None, fast_math=None, cheby_iters=None,
+            cheby_press_iters=None, cheby_rho=None, perf=True)
 
     c2 = cli._cfg(ns(2))
     assert c2.pressure_solver == c2.diffusion_solver == "chebyshev"
@@ -263,11 +265,26 @@ def test_cli_perf_preset_pins_validated_operating_points():
     assert (c2.cheby_rho, c2.press_cheby_iters) == (0.9, 14)
     c3 = cli._cfg(ns(3))
     assert (c3.cheby_rho, c3.press_cheby_iters) == (0.85, 12)
-    # without --perf the explicit flags pass through untouched
+    # the 8192² point is size-coupled (core/config.PERF_POINTS_2D)
+    big = ns(2)
+    big.n = 8190  # backend stays "reference": the trace-probe in
+    # _perf_feasible_or_fallback is abstract (eval_shape), no allocation
+    c8k = cli._cfg(big)
+    assert (c8k.cheby_rho, c8k.cheby_iters, c8k.press_cheby_iters) == \
+        (0.96, 12, 14)
+    # without --perf, unpassed knobs resolve to the plain defaults
     plain = ns(2)
     plain.perf = False
     c0 = cli._cfg(plain)
     assert c0.pressure_solver == "jacobi" and not c0.fast_math
+    assert (c0.cheby_iters, c0.cheby_press_iters, c0.cheby_rho) == \
+        (8, 0, 0.99)
+    # ...and explicitly passed ones pass through untouched
+    expl = ns(2)
+    expl.perf = False
+    expl.pressure_solver, expl.cheby_rho = "multigrid", 0.5
+    ce = cli._cfg(expl)
+    assert ce.pressure_solver == "multigrid" and ce.cheby_rho == 0.5
 
 
 def test_cli_perf_warns_on_clobbered_flags(capsys):
@@ -281,15 +298,21 @@ def test_cli_perf_warns_on_clobbered_flags(capsys):
         # fresh namespace each time: _cfg mutates args in place
         return SimpleNamespace(
             n=126, iters=20, backend="reference", cmax=2, dt=0.016,
-            visc=0.0025, diff=0.1, ndim=2, pressure_solver="jacobi",
-            diffusion_solver="jacobi", fast_math=False, cheby_iters=8,
-            cheby_press_iters=0, cheby_rho=rho, perf=True)
+            visc=0.0025, diff=0.1, ndim=2, pressure_solver=None,
+            diffusion_solver=None, fast_math=None, cheby_iters=None,
+            cheby_press_iters=None, cheby_rho=rho, perf=True)
 
     cli._cfg(ns(0.5))
     err = capsys.readouterr().err
     assert "overrides" in err and "--cheby-rho" in err
-    # defaults-only: silent
+    # ADVICE r4: explicitly passing the DEFAULT value must warn too —
+    # the sentinel (None = not passed) detects it where value equality
+    # with the default could not
     cli._cfg(ns(0.99))
+    err = capsys.readouterr().err
+    assert "overrides" in err and "--cheby-rho" in err
+    # nothing passed: silent
+    cli._cfg(ns(None))
     assert "overrides" not in capsys.readouterr().err
 
 
