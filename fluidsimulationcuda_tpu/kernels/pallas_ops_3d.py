@@ -47,6 +47,17 @@ def _interpret() -> bool:
     return pallas_ops.INTERPRET
 
 
+# Lane-axis (di) term skipping in the flat gather (round 4, 5acece2).
+# False recompiles the pre-gate kernel — ONLY for the before/after
+# measurement (dev/bench_r5b_ts3.py); both settings are bit-identical.
+_GATE_LANE_TERMS = True
+
+# Measured Chebyshev chain plans, (side, total iters) -> (tz, K) — see
+# fused_jacobi3's cheby branch for why these beat the per-call model.
+_CHEBY_CHAIN_PLAN_MEASURED = {
+    (256, 12): (8, 3),
+}
+
 _SIGN_AXIS = {1: 2, 2: 1, 3: 0}  # boundary mode -> flipped axis (z,y,x)
 
 
@@ -376,7 +387,17 @@ def fused_jacobi3(
     if cheby_rho is not None:
         from ..ops.chebyshev import cheby_omegas
 
-        tz, K = _jacobi3_plan(side, min(max_fused, iters), nin=3, nout=2)
+        # Measured chain-plan overrides (dev/bench_r5c_plans3_focus.py,
+        # interleaved reps=8): the per-call cost model prices neither
+        # junction count nor segmentation raggedness, and at 256³ the
+        # 12-sweep chain (the 3-D compensated pressure solve) runs 13%
+        # faster as 4 even K=3 segments at tz=8 (3.08 ms) than as the
+        # model's 6 K=2 segments at tz=16 (3.55 ms).  The 10-sweep chain
+        # measured FASTER on the model's plan (2.31 vs 2.50/2.64) — only
+        # the probed winners are overridden.
+        tz, K = _CHEBY_CHAIN_PLAN_MEASURED.get(
+            (side, iters),
+            _jacobi3_plan(side, min(max_fused, iters), nin=3, nout=2))
         assert tz is not None, f"unsupported 3-D side {side} (cheby)"
         ws_all = [None] + [float(w) for w in
                            cheby_omegas(float(cheby_rho), iters)]
@@ -868,9 +889,12 @@ def _flat_gather_body(
                             mk, qn[side + 1 : L + side + 1, :], g111[:])
 
                     d_i = dii - cmax
-                    pl.when(
-                        jnp.logical_and(di_lo <= d_i, d_i <= di_hi)
-                    )(_di)
+                    if _GATE_LANE_TERMS:
+                        pl.when(
+                            jnp.logical_and(di_lo <= d_i, d_i <= di_hi)
+                        )(_di)
+                    else:  # A/B baseline (dev/bench_r5b_ts3.py)
+                        _di()
 
             pl.when(
                 jnp.logical_and(

@@ -140,6 +140,20 @@ def test_jacobi3_cheby_cross_call_carry(rng):
                                rtol=0, atol=1e-5)
 
 
+def test_cheby_chain_plan_override_pinned():
+    """The measured chain-plan override (dev/bench_r5c_plans3_focus.py)
+    must stay pinned to the probed winner — silent drift of the table is
+    a perf regression at the 3-D compensated pressure solve — and only
+    listed entries may diverge from the analytic planner."""
+    from fluidsimulationcuda_tpu.kernels import pallas_ops_3d as k3
+
+    assert k3._CHEBY_CHAIN_PLAN_MEASURED[(256, 12)] == (8, 3)
+    for (side, iters), (tz, K) in k3._CHEBY_CHAIN_PLAN_MEASURED.items():
+        # every override must itself be a VMEM-feasible chain plan
+        assert side % tz == 0
+        assert k3._jacobi3_need(tz, K, side, 3, 2) <= k3._VMEM3_CEIL
+
+
 def test_divergence3_and_gradient3(rng):
     from fluidsimulationcuda_tpu.kernels import pallas_ops_3d as k3
 
