@@ -7,10 +7,18 @@ This run interleaves EVERY cell with the unsharded anchors (A,B,C,...
 repeated reps=8, min taken per cell) so the published "% of unsharded"
 column comes from one drift-cancelled session.
 
-Cells: unsharded jacobi-20 / cheby-10 at 256³ (anchors), slab jacobi-20
-/ cheby-10 at mz ∈ {254, 128, 64, 32} × 256² on the planner's own plan
-(the shipped configuration, zero-filled pz=1 halos as on the 1×1 mesh;
-the ppermute itself is the one term a single chip cannot price).
+Cells: unsharded jacobi-20 / cheby-10 / cheby-12 at 256³ (anchors),
+slab jacobi-20 / cheby-10 / cheby-12 at mz ∈ {256, 128, 64, 32} × 256²
+on the planner's own plan (zero-filled halos, as on the shard edges of
+a real mesh; the ppermute itself is the one term a single chip cannot
+price).  mz is the REAL per-shard height: ``parallel/sharded3d`` shards
+the full padded volume P("z"), so mz = 256/pz — always 16-divisible.
+The non-divisible mz=254 row of the earlier probes (r4d) can never
+occur in the shipped decomposition; it measured what a ragged slab
+WOULD cost (29%/36% of unsharded — the tz=2 plan), i.e. why the
+decomposition divides evenly.  cheby-12 cells price the compensated
+mode's raised pressure solve for the sharded-compensated vs
+sharded-jacobi decision.
 
 Run: python dev/bench_r5e_tax3.py
 """
@@ -50,9 +58,13 @@ def main():
     def uns_c(xx, rr):
         return o3.fused_jacobi3(0, xx, rr, 1.0, 6.0, 10, cheby_rho=RHO)
 
+    def uns_c12(xx, rr):
+        return o3.fused_jacobi3(0, xx, rr, 1.0, 6.0, 12, cheby_rho=RHO)
+
     cells["uns_jac"] = (uns_j, x, r, SIDE * SIDE * SIDE * 20)
     cells["uns_cheby"] = (uns_c, x, r, SIDE * SIDE * SIDE * 10)
-    for mz in (254, 128, 64, 32):
+    cells["uns_cheby12"] = (uns_c12, x, r, SIDE * SIDE * SIDE * 12)
+    for mz in (256, 128, 64, 32):
         xs = jax.random.normal(jax.random.key(2), (mz, SIDE, SIDE),
                                jnp.float32)
         rs = jax.random.normal(jax.random.key(3), (mz, SIDE, SIDE),
@@ -63,6 +75,8 @@ def main():
             slab_jacobi_fn(mz, Kj, 20), xs, rs, mz * SIDE * SIDE * 20)
         cells[f"slab{mz}_cheby(K={Kc})"] = (
             slab_cheby_fn(mz, Kc, 10), xs, rs, mz * SIDE * SIDE * 10)
+        cells[f"slab{mz}_cheby12(K={Kc})"] = (
+            slab_cheby_fn(mz, Kc, 12), xs, rs, mz * SIDE * SIDE * 12)
 
     built = {}
     for name, (f, xx, rr, cs) in cells.items():
@@ -89,8 +103,9 @@ def main():
         ps[name] = t / cs * 1e12
         print(f"{name:>22}: {t * 1e3:7.2f} ms/solve  "
               f"{ps[name]:7.3f} ps/cell-sweep", flush=True)
-    for mz in (254, 128, 64, 32):
-        for sol, anchor in (("jac", "uns_jac"), ("cheby", "uns_cheby")):
+    for mz in (256, 128, 64, 32):
+        for sol, anchor in (("jac", "uns_jac"), ("cheby", "uns_cheby"),
+                            ("cheby12", "uns_cheby12")):
             key = next(k for k in ps if k.startswith(f"slab{mz}_{sol}("))
             print(f"  slab mz={mz} {sol}: {ps[anchor] / ps[key]:5.0%} "
                   f"of unsharded", flush=True)
