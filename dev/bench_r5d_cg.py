@@ -76,12 +76,13 @@ def main():
               f"{base / t:4.2f}x parity)", flush=True)
 
     # divergence bar: perf solve no worse than the parity solve
-    c = dataclasses.replace(cfg, pressure_solver="cg", cg_iters=15)
     div_j = audit_divergence(cfg, state, 15)
-    div_c = audit_divergence(c, state, 15)
-    print(f"divergence bar (15 steps): cg {div_c:.3e} vs jacobi "
-          f"{div_j:.3e} ({div_c / div_j:.3f}x, "
-          f"{'PASS' if div_c <= div_j else 'FAIL'})", flush=True)
+    for it in (15, 20, 25):
+        c = dataclasses.replace(cfg, pressure_solver="cg", cg_iters=it)
+        div_c = audit_divergence(c, state, 15)
+        print(f"divergence bar (15 steps): cg-{it} {div_c:.3e} vs jacobi "
+              f"{div_j:.3e} ({div_c / div_j:.3f}x, "
+              f"{'PASS' if div_c <= div_j else 'FAIL'})", flush=True)
 
 
 if __name__ == "__main__":
