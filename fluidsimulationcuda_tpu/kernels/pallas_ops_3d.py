@@ -50,6 +50,10 @@ def _interpret() -> bool:
 # Lane-axis (di) term skipping in the flat gather (round 4, 5acece2).
 # False recompiles the pre-gate kernel — ONLY for the before/after
 # measurement (dev/bench_r5b_ts3.py); both settings are bit-identical.
+# Measured (r5b, 256³ slope-timed): wins 3% at cmax=1 (3.86 vs 3.99 ms),
+# LOSES at cmax≥2 (decay 10.99 vs 10.48; forcing 15.18 vs 13.48 — the
+# per-term predicate costs more than the 2-3-of-5 skipped terms save),
+# so the kernel applies it only when cmax == 1 (static condition below).
 _GATE_LANE_TERMS = True
 
 # Measured Chebyshev chain plans, (side, total iters) -> (tz, K) — see
@@ -844,9 +848,10 @@ def _flat_gather_body(
     # gate, one dimension up): a (dz, dy) candidate pair whose offset no
     # cell in the strip uses is skipped at run time (masks provably
     # all-false), and within a fired pair the lane (di) terms are gated
-    # the same way (round 4: the decay regime fires 1-2 of the 2C+1 lane
-    # offsets, the forcing regime 2-3 — each skipped term saves 2 lane
-    # rolls + 8 (L, side) selects).
+    # the same way when cmax == 1 (round 4: the decay regime fires 1-2
+    # of the 2C+1 lane offsets — each skipped term saves 2 lane rolls +
+    # 8 (L, side) selects; at cmax≥2 the gate measured a net LOSS, see
+    # the _GATE_LANE_TERMS header).
     dk_lo, dk_hi = jnp.min(dk), jnp.max(dk)
     dj_lo, dj_hi = jnp.min(dj), jnp.max(dj)
     di_lo, di_hi = jnp.min(di), jnp.max(di)
@@ -889,7 +894,9 @@ def _flat_gather_body(
                             mk, qn[side + 1 : L + side + 1, :], g111[:])
 
                     d_i = dii - cmax
-                    if _GATE_LANE_TERMS:
+                    # gate only the 3-shift window: at cmax≥2 the
+                    # predicate overhead beats the skips (r5b, header)
+                    if _GATE_LANE_TERMS and cmax == 1:
                         pl.when(
                             jnp.logical_and(di_lo <= d_i, d_i <= di_hi)
                         )(_di)
